@@ -1,0 +1,39 @@
+"""Test config: force an 8-device virtual CPU mesh (SURVEY.md §4 — JAX's CPU
+backend is the 'fake device' for sharding tests; bench runs on real TPU)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from vvr_tpu.config import WorldConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_world():
+    """64^3 world (depth 3) — fast to build, shared across tests."""
+    from vvr_tpu.world.generator import generate_world, assemble_dense
+    cfg = WorldConfig(depth=3)
+    chunks = generate_world(cfg)
+    occ = assemble_dense(chunks, cfg.size)
+    return cfg, chunks, occ
+
+
+@pytest.fixture(scope="session")
+def medium_world():
+    """256^3 world (depth 4) — the benchmark scene shape."""
+    from vvr_tpu.world.generator import generate_world, assemble_dense
+    cfg = WorldConfig(depth=4)
+    chunks = generate_world(cfg)
+    occ = assemble_dense(chunks, cfg.size)
+    return cfg, chunks, occ
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(421)  # reference's light seed (renderer.rs:494)

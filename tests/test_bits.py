@@ -1,0 +1,58 @@
+"""Unit tests for bit/index helpers — includes the reference's only unit test,
+the index<->offset round trip (src/voxel/util.rs:40-48), over all 64^3 cells."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vvr_tpu.utils import bits
+
+
+def test_index_offset_roundtrip_all_64():
+    idx = np.arange(64 ** 3)
+    off = bits.index_to_offset(idx, 64)
+    back = bits.offset_to_index(off, 64)
+    np.testing.assert_array_equal(back, idx)
+    assert off.min() == 0 and off.max() == 63
+
+
+def test_child_bit_index_layout():
+    # x | y<<2 | z<<4 (src/voxel/util.rs:32-38)
+    off = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [3, 3, 3]])
+    np.testing.assert_array_equal(bits.child_bit_index(off), [1, 4, 16, 63])
+
+
+def test_popcount32_matches_python():
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 2 ** 32, size=1000, dtype=np.uint32)
+    expect = np.array([bin(int(x)).count("1") for x in v])
+    np.testing.assert_array_equal(np.asarray(bits.popcount32(jnp.asarray(v))), expect)
+    np.testing.assert_array_equal(bits.popcount32(v), expect)
+
+
+def test_popcount_prefix_u64_matches_reference_rule():
+    rng = np.random.default_rng(1)
+    masks = rng.integers(0, 2 ** 64, size=500, dtype=np.uint64)
+    bit = rng.integers(0, 64, size=500)
+    lo, hi = bits.u64_split(masks)
+    got = np.asarray(bits.popcount_prefix_u64(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(bit)))
+    # reference rule: countbits(mask & ((1<<bit)-1)) (ray_stuff_other.slang:216-218)
+    expect = np.array([bin(int(m) & ((1 << int(b)) - 1)).count("1")
+                       for m, b in zip(masks, bit)])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_u64_get_bit():
+    rng = np.random.default_rng(2)
+    masks = rng.integers(0, 2 ** 64, size=200, dtype=np.uint64)
+    bit = rng.integers(0, 64, size=200)
+    lo, hi = bits.u64_split(masks)
+    got = np.asarray(bits.u64_get_bit(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(bit)))
+    expect = np.array([(int(m) >> int(b)) & 1 for m, b in zip(masks, bit)])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_base4_trailing_levels():
+    v = np.array([0, 1, 4, 16, 64, 20, 256, 3], np.int32)
+    got = bits.base4_trailing_levels(v, 4)
+    np.testing.assert_array_equal(got, [4, 0, 1, 2, 3, 1, 4, 0])

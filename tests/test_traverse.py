@@ -1,0 +1,128 @@
+"""Traversal correctness: the HDDA kernel must agree with the dense-DDA CPU
+oracle on hit/face/axis_coord for random rays and structured scenes
+(SURVEY.md §4 'bit-exact CPU-reference traversal vs kernel traversal')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vvr_tpu.ops.traverse import trace
+from vvr_tpu.render.oracle import trace_dense
+from vvr_tpu.world.pyramid import build_pyramid
+
+
+def random_rays(rng, n, size, inside=True):
+    if inside:
+        o = rng.uniform(0.5, size - 0.5, size=(n, 3))
+    else:
+        o = rng.uniform(-size, 2 * size, size=(n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def assert_matches_oracle(occ, o, d, max_steps=4096):
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d),
+                max_steps=max_steps)
+    ref = trace_dense(occ, o, d)
+    hit = np.asarray(res.hit)
+    np.testing.assert_array_equal(hit, ref["hit"], err_msg="hit mismatch")
+    np.testing.assert_array_equal(np.asarray(res.face)[hit], ref["face"][hit],
+                                  err_msg="face mismatch")
+    np.testing.assert_array_equal(np.asarray(res.axis_coord)[hit],
+                                  ref["axis_coord"][hit],
+                                  err_msg="axis_coord mismatch")
+    return res, ref
+
+
+def test_single_voxel_hits():
+    occ = np.zeros((16, 16, 16), bool)
+    occ[8, 8, 8] = True  # voxel at x=8,y=8,z=8
+    # ray straight down +x through the voxel center
+    o = np.array([[0.5, 8.5, 8.5], [0.5, 8.5, 8.5], [8.5, 8.5, 8.5]], np.float32)
+    d = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0]], np.float32)
+    res, _ = assert_matches_oracle(occ, o, d)
+    hit = np.asarray(res.hit)
+    assert hit.tolist() == [True, False, True]
+    assert int(np.asarray(res.face)[0]) == 0
+    assert int(np.asarray(res.axis_coord)[0]) == 8
+
+
+def test_ray_starting_inside_solid():
+    occ = np.ones((16, 16, 16), bool)
+    o = np.array([[5.5, 5.5, 5.5]], np.float32)
+    d = np.array([[1, 0, 0]], np.float32)
+    res, _ = assert_matches_oracle(occ, o, d)
+    assert bool(np.asarray(res.hit)[0])
+    assert int(np.asarray(res.face)[0]) == 0  # initial face, like trace_shi
+
+
+def test_outside_origin_misses():
+    occ = np.ones((16, 16, 16), bool)
+    o = np.array([[-1.0, 5.0, 5.0], [16.0, 5.0, 5.0]], np.float32)
+    d = np.array([[1, 0, 0], [-1, 0, 0]], np.float32)
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d))
+    assert not np.asarray(res.hit).any()  # trace_shi bounds rule
+
+
+def test_axis_aligned_rays():
+    rng = np.random.default_rng(3)
+    occ = rng.random((64, 64, 64)) < 0.02
+    n = 200
+    o = rng.uniform(0.25, 63.75, size=(n, 3)).astype(np.float32)
+    d = np.zeros((n, 3), np.float32)
+    ax = rng.integers(0, 3, n)
+    sign = rng.choice([-1.0, 1.0], n)
+    d[np.arange(n), ax] = sign
+    assert_matches_oracle(occ, o, d)
+
+
+def test_random_sparse_scene():
+    rng = np.random.default_rng(4)
+    occ = rng.random((64, 64, 64)) < 0.01
+    o, d = random_rays(rng, 2000, 64)
+    assert_matches_oracle(occ, o, d)
+
+
+def test_random_dense_scene():
+    rng = np.random.default_rng(5)
+    occ = rng.random((64, 64, 64)) < 0.4
+    o, d = random_rays(rng, 2000, 64)
+    assert_matches_oracle(occ, o, d)
+
+
+def test_full_region_early_out():
+    occ = np.zeros((64, 64, 64), bool)
+    occ[0:16, 0:16, 0:16] = True   # one full 16^3 = full level-2 cell
+    rng = np.random.default_rng(6)
+    o, d = random_rays(rng, 1000, 64)
+    res, ref = assert_matches_oracle(occ, o, d)
+    # rays that hit should mostly terminate in very few iterations thanks to
+    # the full-node early-out
+    hits = np.asarray(res.hit)
+    if hits.any():
+        assert np.asarray(res.iterations)[hits].mean() < 60
+
+
+def test_terrain_scene(small_world):
+    _, _, occ = small_world
+    rng = np.random.default_rng(7)
+    o, d = random_rays(rng, 3000, occ.shape[0])
+    assert_matches_oracle(occ, o, d)
+
+
+def test_empty_world_misses_everywhere():
+    occ = np.zeros((16, 16, 16), bool)
+    rng = np.random.default_rng(8)
+    o, d = random_rays(rng, 500, 16)
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d))
+    assert not np.asarray(res.hit).any()
+
+
+def test_active_mask():
+    occ = np.ones((16, 16, 16), bool)
+    o = np.full((4, 3), 5.5, np.float32)
+    d = np.tile(np.array([[1, 0, 0]], np.float32), (4, 1))
+    act = jnp.asarray([True, False, True, False])
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d), active=act)
+    assert np.asarray(res.hit).tolist() == [True, False, True, False]

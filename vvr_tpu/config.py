@@ -1,0 +1,86 @@
+"""Configuration — the single source of render/world knobs.
+
+Mirrors the reference's clap CLI flags (/root/reference/src/main.rs:33-80) and
+its SPIR-V specialization constants (/root/reference/src/pipeline.rs:102-112):
+quality knobs here are *trace-time Python constants* baked into the jitted
+frame function (the TPU analog of spec constants), while per-frame dynamic
+state (camera, sun, time) travels as traced arguments (the analog of push
+constants, /root/reference/src/pipeline.rs:7-17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldConfig:
+    """World/scene shape. Reference: src/voxel/util.rs:5-6 (SVO_DEPTH=5 ->
+    1024^3 world of 16^3 chunks of 64^3 voxels)."""
+
+    depth: int = 5                  # tree depth; world size = 4**depth
+    seed: int = 0                   # worldgen seed (reference uses seed 0)
+    # FBM terrain parameters (reference: src/voxel.rs:60-91)
+    fbm_octaves: int = 6
+    fbm_frequency: float = 0.001
+    fbm_amplitude: float = 700.0
+    fbm_offset: float = 80.0
+    terrace_step: float = 10.0
+    detail_octaves: int = 3
+    detail_frequency: float = 0.01
+
+    @property
+    def size(self) -> int:
+        """World edge length in voxels (1 << (depth*2))."""
+        return 1 << (2 * self.depth)
+
+    @property
+    def chunk_count(self) -> int:
+        """Chunks per edge; reference caps at 16 (src/voxel.rs:68)."""
+        return min(self.size // 64, 16)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render quality knobs. Field-for-field parity with the reference CLI
+    (src/main.rs:36-79) plus TPU-specific tiling knobs."""
+
+    width: int = 800                # reference default window (renderer.rs:205)
+    height: int = 600
+    downscale_factor: int = 1       # render at (w/h)/downscale, composite up
+    shadow_samples: int = 1         # 0 = off, 1 = hard, N>1 = jittered soft
+    max_ray_iterations: int = 3     # bounce loop cap (1-8)
+    round_normals: bool = False     # kept for parity; no-op in reference too
+    ambient_occlusion: bool = False
+    wavy_reflections: bool = False
+    pixelated_shadows: bool = False
+    enable_debug_stuff: bool = False
+    debug_type: int = 6             # 0=raster dbg,1=combined,2=iters,3=fetches,
+                                    # 4=normals,5=world,6=combined (main path)
+    # TPU knobs (no reference analog; group_size_exp becomes the ray tile)
+    ray_tile: int = 4096            # rays per traversal batch lane-block
+    traversal_max_steps: int = 256  # static HDDA iteration cap
+    # Sky resources (reference: src/skybox.rs:43-45)
+    skybox_resolution: int = 256
+    clouds_resolution: int = 512
+    # Post (reference: post_process_compute.slang)
+    bloom_enabled: bool = True
+    bloom_strength: float = 0.05
+    bloom_sample_mip: int = 2
+
+    @property
+    def render_width(self) -> int:
+        return self.width // self.downscale_factor
+
+    @property
+    def render_height(self) -> int:
+        return self.height // self.downscale_factor
+
+
+# Debug render modes, mirroring shaders/raytracer.slang:46-53.
+DEBUG_COMBINED = 1
+DEBUG_ITERATIONS = 2
+DEBUG_BUFFER_FETCHES = 3
+DEBUG_NORMALS = 4
+DEBUG_WORLD = 5
+DEBUG_EXIT_TYPE = 0  # raster debug path in the reference

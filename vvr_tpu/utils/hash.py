@@ -1,0 +1,75 @@
+"""Shadertoy float-hash family (Dave Hoskins) — vectorized in JAX.
+
+The reference embeds the same family in shaders/hash.slang:17-156 and uses it
+for per-block unique colours (other.slang:10-13), jittered soft shadows
+(raytracer.slang:332-342), and night-sky stars (sky.slang:171-183). Implemented
+from the published Shadertoy formulas, all float32 to match GPU semantics.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+def _fract(x):
+    return x - jnp.floor(x)
+
+
+def hash11(p):
+    p = _fract(p * F32(0.1031))
+    p = p * (p + F32(33.33))
+    p = p * (p + p)
+    return _fract(p)
+
+
+def hash12(p):
+    """p: (..., 2) -> (...)"""
+    p3 = _fract(jnp.stack([p[..., 0], p[..., 1], p[..., 0]], -1) * F32(0.1031))
+    d = jnp.sum(p3 * (p3[..., [1, 2, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., 0] + p3[..., 1]) * p3[..., 2])
+
+
+def hash13(p3):
+    """p3: (..., 3) -> (...)"""
+    p3 = _fract(p3 * F32(0.1031))
+    d = jnp.sum(p3 * (p3[..., [2, 1, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., 0] + p3[..., 1]) * p3[..., 2])
+
+
+def hash22(p):
+    """p: (..., 2) -> (..., 2)"""
+    p3 = _fract(jnp.stack([p[..., 0], p[..., 1], p[..., 0]], -1) * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [1, 2, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0]] + p3[..., [1, 2]]) * p3[..., [2, 1]])
+
+
+def hash33(p3):
+    """p3: (..., 3) -> (..., 3). Matches shaders/hash.slang:102-108."""
+    p3 = _fract(p3 * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [1, 0, 2]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0, 1]] + p3[..., [1, 0, 0]]) * p3[..., [2, 1, 0]])
+
+
+def per_block_unique_colour(block_pos):
+    """normalize(hash33(block_pos * k)) (reference other.slang:10-13)."""
+    k = jnp.array([23.231, -435.4354, 9412.1], F32)
+    col = hash33(block_pos.astype(F32) * k)
+    n = jnp.sqrt(jnp.sum(col * col, -1, keepdims=True))
+    return col / jnp.maximum(n, F32(1e-12))
+
+
+def xorshift32(state):
+    """The host-side PRNG the reference uses for light placement
+    (src/utils.rs:1-10): x ^= x<<13; x ^= x>>7; x ^= x<<17."""
+    import numpy as np
+    x = np.uint32(state)
+    x ^= np.uint32((int(x) << 13) & 0xFFFFFFFF)
+    x ^= x >> np.uint32(7)
+    x ^= np.uint32((int(x) << 17) & 0xFFFFFFFF)
+    return x

@@ -1,0 +1,145 @@
+"""Occupancy mip pyramid — the structure the TPU traversal kernels walk.
+
+TPU-first replacement for the reference's pointer-based SVO buffers
+(src/voxel/sparse.rs): instead of bitmask -> popcount -> child-index dependent
+fetches (ray_stuff_other.slang:155-224), every pyramid cell is addressed by
+pure arithmetic from its (x, y, z, level), so a traversal step is one
+vectorized gather. See ARCHITECTURE.md.
+
+Layout: one flat uint32 array.
+  level 0 (voxels)      : 1 bit / cell  — bit = any = full
+  level l in [1, depth] : 2 bits / cell — bit0 = any voxel below set,
+                          bit1 = all voxels below set (reference FULL_NODE,
+                          src/voxel/sparse.rs:389)
+Cells are x-major (lin = x + y*S + z*S^2, src/voxel/util.rs:8-38), bits packed
+little-endian within u32 words; per-level word offsets in `bases`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vvr_tpu.world.chunk import CHUNK_SIZE, Chunk
+
+
+def _pack_bits_u32(bits: np.ndarray) -> np.ndarray:
+    """bool (n,) -> little-endian packed uint32 words, padded to word size."""
+    bits = np.asarray(bits, bool).ravel()
+    pad = (-len(bits)) % 32
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, bool)])
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+@jax.tree_util.register_pytree_node_class
+class OccupancyPyramid:
+    """Flat packed pyramid + static addressing metadata (a pytree: `words`
+    is the array leaf; depth/bases are static aux data)."""
+
+    def __init__(self, words, depth: int, bases: tuple):
+        self.words = words
+        self.depth = int(depth)
+        self.bases = tuple(int(b) for b in bases)
+
+    @property
+    def size(self) -> int:
+        return 1 << (2 * self.depth)
+
+    def tree_flatten(self):
+        return (self.words,), (self.depth, self.bases)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    # ---- host-side accessors (testing / oracle) ----
+    def level_bits(self, level: int) -> tuple[np.ndarray, np.ndarray]:
+        """(any, full) bool arrays [z,y,x] for a level (host, for tests)."""
+        s = self.size >> (2 * level)
+        w = np.asarray(self.words)
+        if level == 0:
+            n_words = max(1, s ** 3 // 32)
+            raw = np.unpackbits(
+                w[self.bases[0]:self.bases[0] + n_words].view(np.uint8),
+                bitorder="little")[: s ** 3]
+            a = raw.astype(bool).reshape(s, s, s)
+            return a, a.copy()
+        n_words = max(1, s ** 3 * 2 // 32)
+        raw = np.unpackbits(
+            w[self.bases[level]:self.bases[level] + n_words].view(np.uint8),
+            bitorder="little")[: s ** 3 * 2].reshape(-1, 2).astype(bool)
+        return (raw[:, 0].reshape(s, s, s), raw[:, 1].reshape(s, s, s))
+
+
+def _reduce4(a: np.ndarray, op) -> np.ndarray:
+    m = a.shape[0] // 4
+    return op(a.reshape(m, 4, m, 4, m, 4), axis=(1, 3, 5))
+
+
+def build_pyramid(occ: np.ndarray) -> OccupancyPyramid:
+    """Build from a dense bool occupancy grid [z,y,x] (host NumPy)."""
+    occ = np.asarray(occ, bool)
+    size = occ.shape[0]
+    depth = int(round(np.log2(size) / 2))
+    assert (1 << (2 * depth)) == size, f"size {size} must be a power of 4"
+
+    level_words = [_pack_bits_u32(occ)]
+    any_l, full_l = occ, occ
+    for _ in range(1, depth + 1):
+        any_l = _reduce4(any_l, np.ndarray.any)
+        full_l = _reduce4(full_l, np.ndarray.all)
+        inter = np.stack([any_l.ravel(), full_l.ravel()], axis=-1)
+        level_words.append(_pack_bits_u32(inter))
+
+    bases = []
+    off = 0
+    for w in level_words:
+        bases.append(off)
+        off += len(w)
+    words = np.concatenate(level_words)
+    return OccupancyPyramid(jnp.asarray(words), depth, tuple(bases))
+
+
+def build_pyramid_from_chunks(chunks: list[Chunk], size: int) -> OccupancyPyramid:
+    """Build without materializing the dense grid above chunk granularity —
+    uses each chunk's prebuilt mips (the 1024^3 world path)."""
+    depth = int(round(np.log2(size) / 2))
+    n = size // CHUNK_SIZE
+
+    # level 0..3 from chunk mips; chunk mip k has cell size 4^k
+    level_words = []
+    for k in range(0, 4):
+        s = size >> (2 * k)
+        cs = CHUNK_SIZE >> (2 * k)
+        if k == 0:
+            grid = np.zeros((s, s, s), bool)
+            for c in chunks:
+                x, y, z = (int(v) * cs for v in c.position)
+                grid[z:z + cs, y:y + cs, x:x + cs] = c.voxels
+            level_words.append(_pack_bits_u32(grid))
+            any_top, full_top = grid, grid
+        else:
+            ga = np.zeros((s, s, s), bool)
+            gf = np.zeros((s, s, s), bool)
+            for c in chunks:
+                x, y, z = (int(v) * cs for v in c.position)
+                ga[z:z + cs, y:y + cs, x:x + cs] = c.mips.any_mips[k]
+                gf[z:z + cs, y:y + cs, x:x + cs] = c.mips.all_mips[k]
+            inter = np.stack([ga.ravel(), gf.ravel()], axis=-1)
+            level_words.append(_pack_bits_u32(inter))
+            any_top, full_top = ga, gf
+
+    for _ in range(4, depth + 1):
+        any_top = _reduce4(any_top, np.ndarray.any)
+        full_top = _reduce4(full_top, np.ndarray.all)
+        inter = np.stack([any_top.ravel(), full_top.ravel()], axis=-1)
+        level_words.append(_pack_bits_u32(inter))
+
+    bases = []
+    off = 0
+    for w in level_words:
+        bases.append(off)
+        off += len(w)
+    return OccupancyPyramid(jnp.asarray(np.concatenate(level_words)), depth, tuple(bases))
