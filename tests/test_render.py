@@ -1,0 +1,141 @@
+"""End-to-end frame tests + golden-image regression at snapshot cameras
+(SURVEY.md §4: snapshot poses are the reproducibility fixtures). Goldens are
+self-generated (the reference publishes no images) and guard against
+unintended behavioral drift; regenerate with
+  python tests/test_render.py --regen
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vvr_tpu.config import RenderConfig, WorldConfig
+from vvr_tpu.ops.raygen import camera_rays
+from vvr_tpu.render.frame import render_frame
+from vvr_tpu.utils.camera import Camera, load_snapshots
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+SMALL_CFG = RenderConfig(width=96, height=64, shadow_samples=1,
+                         max_ray_iterations=2, skybox_resolution=32,
+                         clouds_resolution=32)
+
+
+def _render(pyr, cam, cfg=SMALL_CFG, sun=(-0.28, 0.65, -0.71), **kw):
+    o, d = camera_rays(cam, cfg.render_width, cfg.render_height)
+    s = np.asarray(sun, np.float32)
+    s = np.concatenate([s / np.linalg.norm(s), [0.0]]).astype(np.float32)
+    img, hdr = render_frame(pyr, o, d, jnp.asarray(s), jnp.float32(0.0), cfg, **kw)
+    return np.asarray(img), np.asarray(hdr)
+
+
+@pytest.fixture(scope="module")
+def pyr(small_world):
+    from vvr_tpu.world.pyramid import build_pyramid
+    _, _, occ = small_world
+    return build_pyramid(occ)
+
+
+def test_frame_shapes_and_content(pyr):
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img, hdr = _render(pyr, cam)
+    assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+    assert hdr.shape == (64, 96, 4)
+    assert np.isfinite(hdr).all()
+    # scene must contain both terrain (alpha 0) and sky (alpha 10)
+    assert (hdr[..., 3] == 10.0).any() and (hdr[..., 3] == 0.0).any()
+    # image is not constant
+    assert img.std() > 10
+
+
+def test_shadows_darken(pyr):
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img_sh, _ = _render(pyr, cam)
+    cfg_nosh = RenderConfig(**{**SMALL_CFG.__dict__, "shadow_samples": 0})
+    img_nosh, _ = _render(pyr, cam, cfg_nosh)
+    assert img_nosh.astype(int).sum() > img_sh.astype(int).sum()
+
+
+def test_soft_shadows_run(pyr):
+    cfg = RenderConfig(**{**SMALL_CFG.__dict__, "shadow_samples": 4})
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img, hdr = _render(pyr, cam, cfg)
+    assert np.isfinite(hdr).all()
+
+
+def test_debug_modes_render(pyr):
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    for dt in (2, 3, 4, 5):
+        cfg = RenderConfig(**{**SMALL_CFG.__dict__, "debug_type": dt})
+        img, _ = _render(pyr, cam, cfg)
+        assert img.std() > 0, f"debug mode {dt} produced a constant image"
+
+
+def test_mirror_materials_bounce(pyr):
+    cfg = RenderConfig(**{**SMALL_CFG.__dict__, "max_ray_iterations": 3})
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img, hdr = _render(pyr, cam, cfg, mirror_materials=True)
+    assert np.isfinite(hdr).all()
+
+
+def test_ambient_occlusion_darkens(small_world, pyr):
+    from vvr_tpu.world.svt import density_from_occupancy
+    _, _, occ = small_world
+    dens = density_from_occupancy(occ)
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    cfg_ao = RenderConfig(**{**SMALL_CFG.__dict__, "ambient_occlusion": True,
+                             "shadow_samples": 0})
+    cfg_no = RenderConfig(**{**SMALL_CFG.__dict__, "ambient_occlusion": False,
+                             "shadow_samples": 0})
+    img_ao, hdr_ao = _render(pyr, cam, cfg_ao, svt_density=dens)
+    img_no, _ = _render(pyr, cam, cfg_no)
+    assert np.isfinite(hdr_ao).all()
+    assert img_ao.astype(int).sum() < img_no.astype(int).sum()
+
+
+def test_downscale_factor(pyr):
+    cfg = RenderConfig(**{**SMALL_CFG.__dict__, "downscale_factor": 2})
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img, hdr = _render(pyr, cam, cfg)
+    assert img.shape == (64, 96, 3)
+    assert hdr.shape == (32, 48, 4)
+
+
+def _golden_views(pyr):
+    cams = {
+        "terrain": Camera.look_at([32, 28, 6], [32, 2, 45], fov=85),
+        "sky": Camera.look_at([32, 40, 32], [32, 80, 90], fov=100),
+    }
+    for i, s in enumerate(load_snapshots()[:2]):
+        cam = Camera.from_snapshot(s)
+        cam.position = cam.position * (64 / 1024.0)
+        cams[f"snap{i}"] = cam
+    return cams
+
+
+def test_golden_images(pyr):
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    regen = not (GOLDEN_DIR / "terrain.npy").exists()
+    for name, cam in _golden_views(pyr).items():
+        img, _ = _render(pyr, cam)
+        path = GOLDEN_DIR / f"{name}.npy"
+        if regen:
+            np.save(path, img)
+            continue
+        golden = np.load(path)
+        # u8 output must match almost exactly on the same backend; allow a
+        # few LSBs for cross-platform float differences
+        diff = np.abs(img.astype(int) - golden.astype(int))
+        frac_off = (diff > 2).mean()
+        assert frac_off < 0.005, f"{name}: {frac_off:.4%} pixels off"
+
+
+if __name__ == "__main__":
+    import sys
+    if "--regen" in sys.argv:
+        import shutil
+        shutil.rmtree(GOLDEN_DIR, ignore_errors=True)
+        print("goldens cleared; run pytest to regenerate")

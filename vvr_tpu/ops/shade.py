@@ -1,0 +1,117 @@
+"""Cook-Torrance PBR shading + material rules — jitted shading stage.
+
+Re-implements the reference's PBR library (shaders/pbr.slang:15-146: GGX NDF,
+Smith-Schlick geometry, Fresnel w/ and w/o roughness, Cook-Torrance specular,
+`lighting()` combining kd/ks, n.l, shadows and a flat 0.2 ambient) and the
+megakernel's material rules (raytracer.slang:199-224): albedo 1 except
+lerp(per_block_unique_colour, 1, 0.5) for blocks with x > size/2;
+roughness 0.8, metallic 0; optional hash-driven mirror blocks.
+
+All inputs are (..., 3)/(...) arrays; everything fuses into the frame jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vvr_tpu.utils.hash import hash13, per_block_unique_colour
+
+F32 = jnp.float32
+PI = 3.1415926538
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def ndf(roughness, n, h):
+    a = roughness * roughness
+    a2 = a * a
+    n_dot_h = jnp.maximum(_dot(n, h), 0.0)
+    semi = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / (PI * semi * semi)
+
+
+def g1(k, n, x):
+    num = jnp.maximum(_dot(n, x), 0.0)
+    return num / (num * (1.0 - k) + k)
+
+
+def gsf(roughness, n, v, l):
+    r = roughness + 1.0
+    k = (r * r) / 8.0
+    return g1(k, n, v) * g1(k, n, l)
+
+
+def fresnel(f0, h, v):
+    cos_t = _saturate(_dot(h, v))
+    return f0 + (1.0 - f0) * jnp.power(1.0 - cos_t, 5.0)[..., None]
+
+
+def fresnel_roughness(f0, v, x, roughness):
+    cos_t = _saturate(1.0 - jnp.maximum(_dot(v, x), 0.0))
+    return f0 + (jnp.maximum(1.0 - roughness[..., None], f0) - f0) \
+        * jnp.power(cos_t, 5.0)[..., None]
+
+
+def specular(f0, roughness, v, l, n, h):
+    num = ndf(roughness, n, h)[..., None] * gsf(roughness, n, v, l)[..., None] \
+        * fresnel(f0, h, v)
+    denom = 4.0 * jnp.maximum(_dot(v, n), 0.0) * jnp.maximum(_dot(l, n), 0.0)
+    tmp = num / jnp.maximum(denom, 1e-4)[..., None]
+    return jnp.where(jnp.isinf(tmp), 1000.0, jnp.clip(tmp, 0.0, 1000.0))
+
+
+def lighting(position, albedo, normal, roughness, metallic, visibility,
+             shadows, view, sun_dir, sun_color):
+    """pbr.slang:90-146 `lighting()`; view = direction surface->camera."""
+    half_view = view + sun_dir
+    half_view = half_view / jnp.maximum(
+        jnp.linalg.norm(half_view, axis=-1, keepdims=True), 1e-12)
+    f0 = 0.04 + (albedo - 0.04) * metallic[..., None]
+
+    ks = fresnel_roughness(f0, half_view, view, roughness)
+    kd = (1.0 - ks) * (1.0 - metallic[..., None])
+
+    spec = specular(f0, roughness, view, sun_dir, normal, half_view)
+    n_dot_l = jnp.maximum(_dot(sun_dir, normal), 0.0)
+
+    outgoing = (kd * albedo / PI + spec) * sun_color \
+        * n_dot_l[..., None] * shadows[..., None]
+    ambient = 0.2 * albedo * kd * visibility[..., None]
+    return outgoing + ambient * 0.2
+
+
+def material_at(block_pos, world_size: int, mirror_materials: bool = False):
+    """Material rules (raytracer.slang:199-224). Returns
+    (albedo (...,3), roughness (...), metallic (...), special (...))."""
+    bp = block_pos.astype(F32)
+    col = per_block_unique_colour(block_pos.astype(F32))
+    albedo = jnp.where((block_pos[..., 0] > world_size // 2)[..., None],
+                       col + (1.0 - col) * 0.5, 1.0)
+    roughness = jnp.full(block_pos.shape[:-1], 0.80, F32)
+    metallic = jnp.zeros(block_pos.shape[:-1], F32)
+    special = jnp.zeros(block_pos.shape[:-1], F32)
+    if mirror_materials:
+        # the reference's commented-out mirror-block rule
+        # (raytracer.slang:219-222): hash-chosen 8^3 block groups
+        special = hash13(jnp.floor(bp / 8.0))
+        metallic = jnp.where(special > 0.8, 1.0, metallic)
+    return albedo, roughness, metallic, special
+
+
+def get_face_normal(face, dir_sign):
+    """-(face == axis) * sign (other.slang:62-64): the entry-face normal
+    opposes the ray direction on that axis."""
+    eye = jnp.eye(3, dtype=F32)[face]
+    return -eye * dir_sign
+
+
+def aces(x):
+    """ACES filmic tonemap (lighting.slang:7-14)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)

@@ -1,0 +1,205 @@
+"""Frame graph — the jitted per-frame pipeline.
+
+The analog of InternalApp::render's command buffer (src/renderer.rs:465-1129),
+as a single jitted function: XLA schedules the passes, barriers become data
+dependencies (SURVEY.md §2.4):
+
+  1. sky: clouds 512^2 + skybox cubemap 256^2 x6 (sky_compute.slang) — computed
+     at frame start and consumed the same frame (the reference records them
+     *after* the main pass, giving a 1-frame latency, SURVEY.md §3.2; we fix
+     that quirk).
+  2. raytrace: wavefront bounce loop (raytracer.slang:146-399) — per bounce a
+     full HDDA trace, mirror continuation, Cook-Torrance shading with sun
+     shadow rays (hard or N jittered soft samples, cloud-modulated), AO from
+     the brick-pool density field, miss -> skybox+clouds.
+  3. post: bloom mip chain + ACES + gamma + integer upscale
+     (post_process_compute.slang).
+
+Quality knobs come from RenderConfig as trace-time constants (the analog of
+SPIR-V spec constants, src/pipeline.rs:102-112); camera/sun/time are traced
+arguments (push constants)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vvr_tpu.config import (DEBUG_BUFFER_FETCHES, DEBUG_ITERATIONS,
+                            DEBUG_NORMALS, DEBUG_WORLD, RenderConfig)
+from vvr_tpu.ops import post as post_ops
+from vvr_tpu.ops import shade as shade_ops
+from vvr_tpu.ops import sky as sky_ops
+from vvr_tpu.ops.noise import snoise3
+from vvr_tpu.ops.traverse import trace
+from vvr_tpu.utils.hash import hash33
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def _norm(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def heatmap(x):
+    """Debug heatmap: blue -> green -> red over [0, 1]."""
+    x = jnp.clip(x, 0.0, 1.0)[..., None]
+    r = jnp.clip(2.0 * x - 1.0, 0.0, 1.0)
+    g = 1.0 - jnp.abs(2.0 * x - 1.0)
+    b = jnp.clip(1.0 - 2.0 * x, 0.0, 1.0)
+    return jnp.concatenate([r, g, b], -1)
+
+
+def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
+                  svt_density=None, mirror_materials: bool = False):
+    """The megakernel as a wavefront (rays flat (N,3)). Returns
+    (rgb (N,3), alpha (N,), first-hit debug dict)."""
+    n = o.shape[0]
+    size = pyr.size
+    colour = jnp.ones((n, 3), F32)
+    out_rgb = jnp.zeros((n, 3), F32)
+    alpha = jnp.zeros((n,), F32)
+    active = jnp.ones((n,), bool)
+    dbg = {}
+
+    sun3 = sun[:3]
+    sun_col = sky_ops.sun_colour(sun3)
+    sun_colour_final = jnp.where(sun3[1] > 0, 3.2 * sun_col, 0.0)
+
+    for bounce in range(cfg.max_ray_iterations):
+        res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active)
+        hit = res.hit & active
+        sgn = jnp.where(d >= 0, 1.0, -1.0)
+        normal = shade_ops.get_face_normal(res.face, sgn)
+
+        # exact hit reconstruction via ray-plane solve (raytracer.slang:169-177,
+        # other.slang:36-43): the entry plane sits at axis_coord, +1 when
+        # entering from the high side.
+        ar = jnp.arange(n)
+        k = res.axis_coord.astype(F32)
+        plane = k + jnp.where(sgn[ar, res.face] < 0, 1.0, 0.0)
+        df = d[ar, res.face]
+        dist = (plane - o[ar, res.face]) / jnp.where(jnp.abs(df) < 1e-12,
+                                                     1e-12, df)
+        world = o + d * dist[:, None]
+        world = world.at[ar, res.face].set(plane)
+        # hit voxel coordinate: exact on the face axis (we use the true hit
+        # voxel; the reference floors the plane coordinate, which lands in
+        # the *neighbour* cell on negative faces — a quirk we define away)
+        block_pos = jnp.floor(world).astype(I32)
+        block_pos = block_pos.at[ar, res.face].set(res.axis_coord)
+
+        albedo, rough, metal, special = shade_ops.material_at(
+            block_pos, size, mirror_materials)
+        mirror = hit & (special > 0.8) & (metal > 0.0)
+        shaded = hit & ~mirror
+
+        if bounce == 0:
+            dbg = dict(iterations=res.iterations, normal=normal,
+                       block_pos=block_pos, hit=hit, world=world)
+
+        # ambient occlusion (raytracer.slang:274-277): filtered density
+        # sampled one voxel along the normal (-2 on negative axes)
+        if cfg.ambient_occlusion and svt_density is not None:
+            wtf = jnp.where(normal < 0, -2.0, normal)
+            from vvr_tpu.world.svt import sample_density_trilinear
+            ao = 1.0 - jnp.clip(
+                sample_density_trilinear(svt_density, world + wtf) * 0.5, 0, 1)
+        else:
+            ao = jnp.ones((n,), F32)
+
+        # sun shadows (raytracer.slang:326-351)
+        shadow_start = world
+        if cfg.pixelated_shadows:
+            shadow_start = jnp.floor(world * 4.0) / 4.0
+        if cfg.shadow_samples > 1:
+            shadow = jnp.zeros((n,), F32)
+            for s in range(cfg.shadow_samples):
+                rng = hash33(shadow_start * 23.12123545 + s * 30.43324) * 2.0 - 1.0
+                sdir = _norm(sun3[None, :] + rng * 0.005)
+                strength = jnp.power(jnp.clip(
+                    jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
+                s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
+                s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
+                              active=shaded).hit
+                cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
+                shadow = shadow + jnp.where(
+                    s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
+        elif cfg.shadow_samples == 1:
+            s_o = shadow_start + sun3 * 0.05
+            sdir = jnp.broadcast_to(sun3, (n, 3))
+            s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
+                          active=shaded).hit
+            cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
+            shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
+        else:
+            shadow = jnp.ones((n,), F32)
+
+        lit = shade_ops.lighting(
+            world, albedo, normal, rough, metal,
+            jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
+            sun_colour_final)
+        out_rgb = jnp.where(shaded[:, None], colour * lit, out_rgb)
+
+        miss = active & ~res.hit
+        sky_rgb = sky_ops.sample_skybox_and_clouds(skybox, clouds_tex, o, d)
+        out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
+        alpha = jnp.where(miss, 10.0, alpha)
+
+        # mirror continuation (raytracer.slang:225-270)
+        if mirror_materials:
+            new_n = normal
+            if cfg.wavy_reflections:
+                new_n = _norm(normal + snoise3(world * 0.85 + time)[..., None] * 0.05)
+            refl = d - 2.0 * jnp.sum(d * new_n, -1, keepdims=True) * new_n
+            o = jnp.where(mirror[:, None], world + refl * 1e-3, o)
+            d = jnp.where(mirror[:, None], refl, d)
+            colour = jnp.where(mirror[:, None],
+                               colour * albedo * metal[:, None], colour)
+        active = mirror
+        if not mirror_materials:
+            break  # no lane can continue; skip dead bounces entirely
+
+    out_rgb = jnp.where(active[:, None], 0.0, out_rgb)  # bounces exhausted
+    return out_rgb, alpha, dbg
+
+
+def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
+    it = dbg["iterations"].astype(F32).reshape(h, w)
+    if cfg.debug_type == DEBUG_ITERATIONS:
+        return heatmap(it / 256.0)
+    if cfg.debug_type == DEBUG_BUFFER_FETCHES:
+        return heatmap(it / 32.0)
+    if cfg.debug_type == DEBUG_NORMALS:
+        return jnp.clip(dbg["normal"].reshape(h, w, 3), 0.0, 1.0)
+    if cfg.debug_type == DEBUG_WORLD:
+        return (dbg["block_pos"].reshape(h, w, 3) % 16).astype(F32) / 16.0
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
+def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
+                 svt_density=None, mirror_materials: bool = False):
+    """Full frame: sky passes + raytrace + post. Rays must be the flattened
+    (render_h * render_w) camera rays. Returns (u8 image (H, W, 3),
+    hdr rgba (rh, rw, 4))."""
+    rh, rw = cfg.render_height, cfg.render_width
+    clouds_tex = sky_ops.write_clouds(sun[:3], time, cfg.clouds_resolution)
+    skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
+
+    rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
+                                    cfg, svt_density, mirror_materials)
+    dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
+    if dbg_img is not None:
+        rgb = dbg_img.reshape(-1, 3)
+
+    hdr = jnp.concatenate([rgb, alpha[:, None]], -1).reshape(rh, rw, 4)
+    if cfg.bloom_enabled and dbg_img is None:
+        bloom2 = post_ops.bloom_pyramid(hdr)
+    else:
+        bloom2 = jnp.zeros((max(rh >> 2, 1), max(rw >> 2, 1), 4), F32)
+    img = post_ops.composite(hdr, bloom2, cfg.height, cfg.width,
+                             cfg.bloom_strength, cfg.bloom_enabled and dbg_img is None)
+    return img, hdr

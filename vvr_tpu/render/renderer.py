@@ -1,0 +1,100 @@
+"""Renderer — the frame orchestrator (InternalApp analog).
+
+Owns the scene + render config, drives per-frame state (camera, sun, time,
+lights), times the main pass (the analog of the reference's GPU timestamp
+pair around the megakernel, src/renderer.rs:795-797), and exposes the
+key-triggered capture benchmark (L key -> Statistics, src/renderer.rs:442-444)
+as a method."""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+
+import jax
+import numpy as np
+
+from vvr_tpu.config import RenderConfig, WorldConfig
+from vvr_tpu.ops.raygen import camera_rays
+from vvr_tpu.render.frame import render_frame
+from vvr_tpu.render.scene import Scene, build_scene
+from vvr_tpu.utils.camera import Camera, Snapshot, load_snapshots
+from vvr_tpu.utils.statistics import Statistics, mrays_per_sec
+
+log = logging.getLogger(__name__)
+
+DEFAULT_SUN = np.array([-0.28, 0.65, -0.71, 0.0], np.float32)
+
+
+class Renderer:
+    def __init__(self, world_cfg: WorldConfig, render_cfg: RenderConfig,
+                 scene: Scene | None = None, force_regenerate: bool = False,
+                 mirror_materials: bool = False):
+        self.world_cfg = world_cfg
+        self.cfg = render_cfg
+        self.scene = scene or build_scene(
+            world_cfg, force_regenerate=force_regenerate,
+            with_density=render_cfg.ambient_occlusion)
+        self.mirror_materials = mirror_materials
+        self.stats = Statistics()
+        self.frame_count = 0
+        self.elapsed = 0.0
+        self.snapshots = load_snapshots()
+        sun = DEFAULT_SUN[:3] / np.linalg.norm(DEFAULT_SUN[:3])
+        self.sun = np.concatenate([sun, [0.0]]).astype(np.float32)
+
+    def camera_for_snapshot(self, index: int) -> Camera:
+        snap = self.snapshots[index % len(self.snapshots)]
+        cam = Camera.from_snapshot(snap)
+        # snapshot poses are authored for the 1024^3 world; scale into range
+        scale = self.scene.size / 1024.0
+        cam.position = cam.position * scale
+        return cam
+
+    @property
+    def rays_per_frame(self) -> int:
+        """Primary + shadow rays per frame (the Mrays/s denominator)."""
+        n = self.cfg.render_width * self.cfg.render_height
+        return n * (1 + max(self.cfg.shadow_samples, 0))
+
+    def render(self, camera: Camera, time: float | None = None,
+               timed: bool = False) -> np.ndarray:
+        """One frame -> (H, W, 3) u8. With timed=True, blocks and records the
+        pass time into Statistics."""
+        t = self.elapsed if time is None else time
+        o, d = camera_rays(camera, self.cfg.render_width, self.cfg.render_height)
+        t0 = _time.monotonic()
+        img, _hdr = render_frame(
+            self.scene.pyramid, o, d, jax.numpy.asarray(self.sun),
+            jax.numpy.float32(t), self.cfg,
+            svt_density=self.scene.density if self.cfg.ambient_occlusion else None,
+            mirror_materials=self.mirror_materials)
+        if timed:
+            img = jax.block_until_ready(img)
+            self.stats.push_timing((_time.monotonic() - t0) * 1e3)
+        self.frame_count += 1
+        res = self.stats.end_of_frame(self.frame_count)
+        if res is not None:
+            log.info("Sample Count: %d, Avg: %.3fms, StdDev: %.4f",
+                     res["samples"], res["avg_ms"], res["stddev"])
+        return np.asarray(img)
+
+    def benchmark(self, camera: Camera, duration_s: float = 2.0,
+                  warmup: int = 2) -> dict:
+        """Timed capture (reference L-key benchmark, statistics.rs:43-64)."""
+        for _ in range(warmup):
+            self.render(camera, timed=True)
+        self.stats.benchmark_duration_s = duration_s
+        self.stats.start_benchmarking(self.frame_count)
+        # the reference skips the first ROLLING frames of a capture
+        result = None
+        while result is None:
+            self.render(camera, timed=True)
+            result = self.stats.last_result if self.stats.benchmark is None \
+                and self.stats.last_result else None
+        result = dict(result)
+        result["mrays_per_s"] = mrays_per_sec(self.rays_per_frame,
+                                              result["avg_ms"])
+        result["fps"] = 1000.0 / result["avg_ms"]
+        self.stats.last_result = None
+        return result

@@ -1,0 +1,90 @@
+"""Scene — owns the world's device-resident structures.
+
+The analog of the resources InternalApp holds (src/renderer.rs:33-104): the
+occupancy pyramid (traversal), the SVO buffers (parity/checkpoint artifact),
+the SVT density field (AO), and the animated point lights
+(src/renderer.rs:290-303,494-505; 100 lights, xorshift-seeded)."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from vvr_tpu.config import WorldConfig
+from vvr_tpu.world import cache as cache_mod
+from vvr_tpu.world.chunk import Chunk
+from vvr_tpu.world.generator import assemble_dense, generate_world
+from vvr_tpu.world.pyramid import OccupancyPyramid, build_pyramid_from_chunks
+from vvr_tpu.world.svt import density_from_occupancy
+from vvr_tpu.world.tree import (SparseVoxelTree, bounds_pyramid_from_chunks,
+                                flatten_tree)
+
+log = logging.getLogger(__name__)
+
+NUM_LIGHTS = 100  # src/renderer.rs:290
+
+
+@dataclasses.dataclass
+class Scene:
+    cfg: WorldConfig
+    chunks: list
+    pyramid: OccupancyPyramid
+    tree: SparseVoxelTree
+    density: object          # jnp u8 (S,S,S) or None
+    lights: np.ndarray       # (NUM_LIGHTS, 4) f32
+
+    @property
+    def size(self) -> int:
+        return self.cfg.size
+
+    def animate_lights(self, camera_position, elapsed: float, delta: float):
+        """CPU light animation (src/renderer.rs:494-505): each light lerps
+        toward a point on a rotating disk around the camera."""
+        rng = np.random.default_rng(421)  # seed parity (renderer.rs:494)
+        axes = rng.random((NUM_LIGHTS, 3)).astype(np.float32) - 0.5
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        c, s = np.cos(elapsed), np.sin(elapsed)
+        # Rodrigues rotation of unit_x around each axis by `elapsed`
+        ux = np.array([1.0, 0.0, 0.0], np.float32)
+        k = axes
+        rot = (ux[None] * c
+               + np.cross(k, ux[None]) * s
+               + k * (k @ ux)[:, None] * (1 - c))
+        target = np.asarray(camera_position, np.float32)[None] + rot * 5.0
+        t = min(max(delta, 0.0), 1.0)
+        self.lights[:, :3] += (target - self.lights[:, :3]) * t
+
+
+def build_scene(cfg: WorldConfig, force_regenerate: bool = False,
+                cache_path=None, with_density: bool = True,
+                with_tree: bool = True) -> Scene:
+    """create_sparse_structures analog (src/voxel.rs:20-125): load the cached
+    world or generate + cache it, then build device structures."""
+    path = cache_path or cache_mod.default_cache_path(cfg.size)
+    chunks = None
+    if not force_regenerate:
+        chunks = cache_mod.load_world(path)
+        if chunks is not None:
+            log.info("world cache hit: %s (%d chunks)", path, len(chunks))
+    if chunks is None:
+        log.info("generating world (size %d)...", cfg.size)
+        chunks = generate_world(cfg)
+        try:
+            cache_mod.save_world(path, chunks, cfg.size)
+        except OSError as e:  # pragma: no cover
+            log.warning("could not write world cache: %s", e)
+
+    pyramid = build_pyramid_from_chunks(chunks, cfg.size)
+    tree = None
+    if with_tree:
+        tree = flatten_tree(pyramid, bounds_pyramid_from_chunks(chunks, cfg.size))
+        log.info("tree: %s", tree.metrics)
+    density = None
+    if with_density:
+        density = density_from_occupancy(assemble_dense(chunks, cfg.size))
+
+    rng = np.random.default_rng(421)
+    lights = (rng.random((NUM_LIGHTS, 4)).astype(np.float32) * cfg.size)
+    return Scene(cfg, chunks, pyramid, tree, density, lights)
