@@ -19,7 +19,7 @@ CFG = RenderConfig(width=96, height=64, shadow_samples=1, max_ray_iterations=2,
 
 @pytest.fixture(scope="module")
 def pyr(small_world):
-    from vvr_tpu.world.pyramid import build_pyramid
+    from vvr_tpu.world.pyramid import build_brick_pyramid as build_pyramid
     _, _, occ = small_world
     return build_pyramid(occ)
 

@@ -34,7 +34,7 @@ def _render(pyr, cam, cfg=SMALL_CFG, sun=(-0.28, 0.65, -0.71), **kw):
 
 @pytest.fixture(scope="module")
 def pyr(small_world):
-    from vvr_tpu.world.pyramid import build_pyramid
+    from vvr_tpu.world.pyramid import build_brick_pyramid as build_pyramid
     _, _, occ = small_world
     return build_pyramid(occ)
 

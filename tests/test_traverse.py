@@ -8,7 +8,7 @@ import pytest
 
 from vvr_tpu.ops.traverse import trace
 from vvr_tpu.render.oracle import trace_dense
-from vvr_tpu.world.pyramid import build_pyramid
+from vvr_tpu.world.pyramid import build_brick_pyramid as build_pyramid
 
 
 def random_rays(rng, n, size, inside=True):

@@ -1,29 +1,46 @@
-"""Hierarchical DDA traversal — the hot kernel.
+"""Brick-DDA traversal — the hot kernel.
 
 TPU-native re-architecture of the reference's compile-time-recursive stackless
-DDA (shaders/ray_stuff_other.slang:111-308, entry trace_shi :424-437): a
-mask-predicated, fixed-cap `lax.while_loop` vectorized over a ray batch,
-walking the dense occupancy mip pyramid (world/pyramid.py). Per iteration each
-ray does ONE gather (its cell's any/full bits) plus vector ALU:
+DDA (shaders/ray_stuff_other.slang:111-308, entry trace_shi :424-437) as a
+mask-predicated wavefront over a ray batch, walking the dense brick pyramid
+(world/pyramid.py BrickPyramid). Like the reference, a "node" holds the u64
+any-mask of its 4x4x4 children and the in-node walk is a <=12-step 3D DDA
+(slang :188-305); unlike the reference, nodes are addressed *arithmetically*
+from (cell, level), a node also carries its children's u64 full-mask (the
+FULL_NODE early-out, slang :229-243, as a bit instead of a pointer sentinel),
+and recursion becomes integer descend/ascend:
 
-  occupied & (leaf | full)  -> HIT   (reference FULL_NODE early-out,
-                                      ray_stuff_other.slang:229-243)
-  occupied                  -> descend one level (integer child clamp)
-  empty                     -> DDA step to the cell exit, then ascend to the
-                               coarsest level whose boundary was crossed
-                               (base-4 alignment of the crossed coordinate —
-                               Museth-style HDDA ascent; replaces the
-                               reference's recursion pop)
+  child any bit & (leaf | full bit)  -> HIT at child granularity
+  child any bit                      -> descend (fetch child node row)
+  empty                              -> in-node DDA step; on node exit,
+                                        ascend to the coarsest level whose
+                                        boundary was crossed (base-4
+                                        alignment) and fetch that node
+
+TPU cost model (measured, v5e): a random row gather costs ~10-12 ns/ray
+regardless of row width up to 16 B, while a vector ALU step over 1M rays
+costs ~0.1-0.3 ms. The kernel is therefore organized to MINIMIZE GATHER
+ISSUES, not steps:
+
+  * one 16-byte row fetch yields a node's full 64-child any+full masks,
+    held in registers across the in-node DDA (the reference fetches
+    bitmask/index/aabb separately per node, slang :126-225);
+  * the loop body is a group of FETCH_EVERY sub-steps, only the first of
+    which contains the gather — lanes that need a node row (descend/exit)
+    latch a `pending` flag and stall in ALU sub-steps until the next fetch;
+  * after PHASE1_GROUPS groups, surviving rays (stragglers skimming the
+    surface) are front-packed by a stable argsort and finished in a batch
+    1/4 the size, so the whole-batch while_loop is not held hostage by the
+    worst ray; a final full-batch loop guarantees correctness if the packed
+    capacity ever overflows.
 
 Hit contract matches the reference (DdaTraversalOutput,
 ray_stuff_other.slang:99-106): (hit, face, axis_coord, t) where `axis_coord`
 is the entry-plane coordinate of the hit block — origin[face] for leaf hits
-(:291) and origin[face] + (sign<0) * (voxel_size-1) for full-node hits (:243).
-Exact hit positions are reconstructed by the shading pass via the same
-ray-plane solve the reference uses (raytracer.slang:169-177).
-
-Rays whose origin lies outside [0, size)^3 miss immediately
-(trace_shi bounds check, ray_stuff_other.slang:430-432).
+(:291) and origin[face] + (sign<0)*(voxel_size-1) for full-node hits (:243).
+Rays with origin outside [0, size)^3 miss (trace_shi bounds check :430-432);
+rays starting inside a solid cell hit with face 0 and the origin voxel's
+coordinate (dense-DDA oracle semantics, render/oracle.py).
 """
 
 from __future__ import annotations
@@ -34,14 +51,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vvr_tpu.world.pyramid import OccupancyPyramid
+from vvr_tpu.world.pyramid import BrickPyramid
 
 F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-_ACTIVE, _HIT, _MISS = 0, 1, 2
 BIG_T = 1e30
+FETCH_EVERY = 4      # sub-steps per group; first one carries the gather
+PHASE1_GROUPS = 10   # groups before straggler compaction
+PACK_FRACTION = 4    # packed phase capacity = N / PACK_FRACTION
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,162 +70,375 @@ class TraceResult:
     face: jnp.ndarray        # int32 (N,) axis of entry face: 0=x 1=y 2=z
     axis_coord: jnp.ndarray  # int32 (N,) entry-plane block coordinate
     t: jnp.ndarray           # f32 (N,) conservative entry distance
-    iterations: jnp.ndarray  # int32 (N,) HDDA steps taken (debug heatmaps)
+    iterations: jnp.ndarray  # int32 (N,) DDA sub-steps (debug heatmap parity)
+    fetches: jnp.ndarray     # int32 (N,) node rows fetched (buffer_fetches)
 
     def tree_flatten(self):
-        return (self.hit, self.face, self.axis_coord, self.t, self.iterations), None
+        return (self.hit, self.face, self.axis_coord, self.t,
+                self.iterations, self.fetches), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
 
-def _cell_lookup(pyr: OccupancyPyramid, cell, level):
-    """Gather (any, full) bits for (N,3) int cells at (N,) levels."""
-    depth = pyr.depth
-    bases = jnp.asarray(pyr.bases, I32)
-    # bits per cell: level 0 -> 1, else 2
-    bpc = jnp.where(level == 0, 1, 2)
-    log2s = 2 * (depth - level)          # log2 of grid size at level
-    s = (I32(1) << log2s)
-    lin = cell[:, 0] + cell[:, 1] * s + cell[:, 2] * s * s
-    bit_off = lin * bpc
-    addr = bases[level] + (bit_off >> 5)
-    shift = (bit_off & 31).astype(U32)
-    w = jnp.take(pyr.words, addr, mode="clip")
-    any_b = (w >> shift) & U32(1)
-    full_shift = jnp.minimum(shift + U32(1), U32(31))  # level-0 lanes discard
-    full_b = jnp.where(level == 0, any_b, (w >> full_shift) & U32(1))
-    return any_b == 1, full_b == 1
+def _sel3(face, x, y, z):
+    return jnp.where(face == 0, x, jnp.where(face == 1, y, z))
 
 
-def _argmin3_zyx(tx, ty, tz):
-    """Face of the minimal exit t with z > y > x tie priority, matching the
-    reference's firstbithigh(eqs) rule (ray_stuff_other.slang:294-295)."""
-    tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
-    face = jnp.where(tz <= tmin, 2, jnp.where(ty <= tmin, 1, 0))
-    return tmin, face
-
-
-def _base4_trailing(v, cap):
-    """Trailing base-4 zero digits of v (i32 array), capped by `cap` (i32)."""
-    out = jnp.zeros_like(v)
-    ok = jnp.ones_like(v, dtype=bool)
-    cur = v
-    # static unroll: at most 5 levels in any supported world (depth<=5)
-    for _ in range(5):
-        aligned = (cur & 3) == 0
-        ok = ok & aligned & (out < cap)
-        out = out + ok.astype(out.dtype)
-        cur = cur >> 2
+def _sel_level(level, values):
+    """values[level] via a select chain (values: static scalars, any dtype)."""
+    out = jnp.full(level.shape, values[-1], dtype=jnp.asarray(values[-1]).dtype)
+    for lv in range(len(values) - 2, -1, -1):
+        out = jnp.where(level == lv, values[lv], out)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "start_level"))
-def trace(pyr: OccupancyPyramid, ray_o, ray_d, max_steps: int = 256,
-          active=None, start_level: int | None = None) -> TraceResult:
-    """Trace N rays. ray_o/ray_d: (N,3) f32 (d need not be normalized).
-    `active`: optional (N,) bool — inactive rays report miss.
-    """
+def _bit64(lo, hi, bit):
+    """Test bit (0..63) of the (lo, hi) u32 pair."""
+    use_hi = bit >= 32
+    word = jnp.where(use_hi, hi, lo)
+    sh = (bit & 31).astype(U32)
+    return ((word >> sh) & U32(1)) == 1
+
+
+# state tuple indices
+(_ACT, _HIT, _PEND, _NX, _NY, _NZ, _LVL, _ALO, _AHI, _FLO, _FHI,
+ _LX, _LY, _LZ, _T, _FACE, _ADDR, _ITER, _FETCH, _HLVL) = range(20)
+
+
+def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool):
+    """Returns (fetch_fn, alu_fn) closed over static pyramid metadata and
+    the per-ray constants (origin, direction and derived)."""
+    depth = pyr.depth
+    size = pyr.size
+    rows = pyr.rows
+    (ox, oy, oz, dx, dy, dz, ix_, iy_, iz_, sx, sy, sz, px_, py_, pz_) = ray
+
+    # static per-level constants; level l node has children at level l-1
+    bases = [I32(b) for b in pyr.bases] + [I32(0)]  # pad for safe indexing
+    child_sz = [F32(1 << (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
+    inv_grand = [F32(1.0 / (1 << (2 * max(lv - 2, 0)))) for lv in range(depth + 1)]
+    grid_child = [I32(size >> (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
+    ngrid = [I32(max(size >> (2 * lv), 1)) for lv in range(depth + 1)]
+
+    def node_addr(lvl, cx, cy, cz):
+        g = _sel_level(lvl, ngrid)
+        return _sel_level(lvl, bases) + cx + cy * g + cz * g * g
+
+    def fetch(s):
+        addr = jnp.where(s[_PEND] & s[_ACT], s[_ADDR], 0)
+        r = jnp.take(rows, addr, axis=0, mode="clip")  # (N, 4)
+        did = s[_PEND] & s[_ACT]
+        s = list(s)
+        s[_ALO] = jnp.where(did, r[:, 0], s[_ALO])
+        s[_AHI] = jnp.where(did, r[:, 1], s[_AHI])
+        s[_FLO] = jnp.where(did, r[:, 2], s[_FLO])
+        s[_FHI] = jnp.where(did, r[:, 3], s[_FHI])
+        s[_PEND] = s[_PEND] & ~did
+        if count_stats:
+            s[_FETCH] = s[_FETCH] + did.astype(I32)
+        return tuple(s)
+
+    def alu(s):
+        act, pend = s[_ACT], s[_PEND]
+        live = act & ~pend
+        lvl = s[_LVL]
+        nx, ny, nz = s[_NX], s[_NY], s[_NZ]
+        lx, ly, lz = s[_LX], s[_LY], s[_LZ]
+        t = s[_T]
+
+        bit = (lx | (ly << 2) | (lz << 4)).astype(I32)
+        abit = _bit64(s[_ALO], s[_AHI], bit)
+        fbit = _bit64(s[_FLO], s[_FHI], bit)
+        leaf = lvl == 1
+
+        hit_now = live & abit & (leaf | fbit)
+        desc = live & abit & ~hit_now
+        stepping = live & ~abit
+
+        # ---- descend: new node = child cell at level lvl-1
+        dnx = nx * 4 + lx
+        dny = ny * 4 + ly
+        dnz = nz * 4 + lz
+        inv_g = _sel_level(lvl, inv_grand)  # grandchild cell size reciprocal
+        dlx = jnp.clip(((ox + dx * t) * inv_g).astype(I32) - dnx * 4, 0, 3)
+        dly = jnp.clip(((oy + dy * t) * inv_g).astype(I32) - dny * 4, 0, 3)
+        dlz = jnp.clip(((oz + dz * t) * inv_g).astype(I32) - dnz * 4, 0, 3)
+        daddr = node_addr(jnp.maximum(lvl - 1, 1), dnx, dny, dnz)
+
+        # ---- step: exit t of the current child cell (z > y > x tie rule)
+        cs = _sel_level(lvl, child_sz)
+        bx = (nx * 4 + lx + px_).astype(F32) * cs
+        by = (ny * 4 + ly + py_).astype(F32) * cs
+        bz = (nz * 4 + lz + pz_).astype(F32) * cs
+        tx = jnp.where(dx == 0.0, F32(BIG_T), (bx - ox) * ix_)
+        ty = jnp.where(dy == 0.0, F32(BIG_T), (by - oy) * iy_)
+        tz = jnp.where(dz == 0.0, F32(BIG_T), (bz - oz) * iz_)
+        t_exit = jnp.minimum(tx, jnp.minimum(ty, tz))
+        nface = jnp.where(tz <= t_exit, 2, jnp.where(ty <= t_exit, 1, 0))
+
+        slx = lx + jnp.where(nface == 0, sx, 0)
+        sly = ly + jnp.where(nface == 1, sy, 0)
+        slz = lz + jnp.where(nface == 2, sz, 0)
+        inside_node = ((slx >= 0) & (slx <= 3) & (sly >= 0) & (sly <= 3)
+                       & (slz >= 0) & (slz <= 3))
+
+        # node exit: stepped child coords in the level-(lvl-1) grid
+        gcx = nx * 4 + slx
+        gcy = ny * 4 + sly
+        gcz = nz * 4 + slz
+        gsz = _sel_level(lvl, grid_child)
+        oob = ((gcx < 0) | (gcx >= gsz) | (gcy < 0) | (gcy >= gsz)
+               | (gcz < 0) | (gcz >= gsz))
+
+        crossed = _sel3(nface, gcx, gcy, gcz)
+        ssign = _sel3(nface, sx, sy, sz)
+        cross_c = jnp.where(ssign > 0, crossed, crossed + 1)
+        # ascend `a` levels: new node level L = lvl + a, capped at depth.
+        # alignment in level-(lvl-1) cell units: each extra aligned base-4
+        # digit beyond the first allows one more level up.
+        cap = depth - lvl
+        a = jnp.zeros_like(lvl)
+        ok = jnp.ones_like(lvl, dtype=bool)
+        cur = cross_c >> 2
+        for _ in range(depth - 1):
+            ok = ok & ((cur & 3) == 0) & (a < cap)
+            a = a + ok.astype(I32)
+            cur = cur >> 2
+        newl = lvl + a
+        # new node cell (level L) and local coords (level L-1) of position
+        shift_node = 2 * (a + 1)
+        shift_loc = 2 * a
+        anx = gcx >> shift_node
+        any_ = gcy >> shift_node
+        anz = gcz >> shift_node
+        alx = (gcx >> shift_loc) & 3
+        aly = (gcy >> shift_loc) & 3
+        alz = (gcz >> shift_loc) & 3
+        aaddr = node_addr(newl, anx, any_, anz)
+
+        exit_node = stepping & ~inside_node & ~oob
+
+        # ---- merge
+        out = list(s)
+        out[_HIT] = s[_HIT] | hit_now
+        out[_ACT] = act & ~hit_now & ~(stepping & oob)
+        out[_PEND] = pend | desc | exit_node
+        out[_ADDR] = jnp.where(desc, daddr, jnp.where(exit_node, aaddr, s[_ADDR]))
+        out[_NX] = jnp.where(desc, dnx, jnp.where(exit_node, anx, nx))
+        out[_NY] = jnp.where(desc, dny, jnp.where(exit_node, any_, ny))
+        out[_NZ] = jnp.where(desc, dnz, jnp.where(exit_node, anz, nz))
+        out[_LVL] = jnp.where(desc, jnp.maximum(lvl - 1, 1),
+                              jnp.where(exit_node, newl, lvl))
+        out[_LX] = jnp.where(desc, dlx,
+                             jnp.where(exit_node, alx,
+                                       jnp.where(stepping, slx, lx)))
+        out[_LY] = jnp.where(desc, dly,
+                             jnp.where(exit_node, aly,
+                                       jnp.where(stepping, sly, ly)))
+        out[_LZ] = jnp.where(desc, dlz,
+                             jnp.where(exit_node, alz,
+                                       jnp.where(stepping, slz, lz)))
+        out[_T] = jnp.where(stepping, t_exit, t)
+        out[_FACE] = jnp.where(stepping, nface, s[_FACE])
+        out[_HLVL] = jnp.where(hit_now, lvl, s[_HLVL])
+        if count_stats:
+            out[_ITER] = s[_ITER] + live.astype(I32)
+        else:
+            out[_ITER] = s[_ITER] + live.astype(I32)
+        capped = out[_ITER] >= max_steps
+        out[_ACT] = out[_ACT] & ~capped
+        return tuple(out)
+
+    return fetch, alu
+
+
+def _run_groups(fetch, alu, state, n_groups: int | None):
+    """Run (fetch + (FETCH_EVERY-1) alu) groups; bounded if n_groups given,
+    else while any ray is active."""
+    def group(s):
+        s = fetch(s)
+        for _ in range(FETCH_EVERY - 1):
+            s = alu(s)
+        return s
+
+    if n_groups is not None:
+        def body(_, s):
+            return group(s)
+        return jax.lax.fori_loop(0, n_groups, body, state)
+
+    def cond(s):
+        return jnp.any(s[_ACT])
+    return jax.lax.while_loop(cond, group, state)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "compact",
+                                             "pack_first"))
+def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
+          active=None, compact: bool = True,
+          pack_first: int | None = None) -> TraceResult:
+    """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
+
+    pack_first: if given (static), rays with active=True are front-packed
+    into a batch of that capacity before tracing — use when a minority of
+    lanes is active (e.g. shadow rays from hit pixels) so inactive lanes do
+    not pay the per-group gather. Overflow beyond the capacity is traced at
+    full width by the safety net (zero extra trips when it fits)."""
+    if pack_first is not None and active is not None:
+        n = ray_o.shape[0]
+        np_idx = jnp.nonzero(active, size=pack_first, fill_value=n)[0]
+        p_valid = np_idx < n
+        p_safe = jnp.minimum(np_idx, n - 1)
+        sub = trace(pyr, ray_o[p_safe], ray_d[p_safe], max_steps=max_steps,
+                    active=p_valid, compact=compact, pack_first=None)
+        # overflow lanes (beyond capacity) traced at full width; zero work
+        # when everything fit
+        packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
+        overflow = active & ~packed_mark
+        rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
+                     active=overflow, compact=False, pack_first=None)
+
+        def scat(a, b):
+            return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),
+                                    mode="drop")
+        return TraceResult(
+            hit=scat(rest.hit, sub.hit),
+            face=scat(rest.face, sub.face),
+            axis_coord=scat(rest.axis_coord, sub.axis_coord),
+            t=scat(rest.t, sub.t),
+            iterations=scat(rest.iterations, sub.iterations),
+            fetches=scat(rest.fetches, sub.fetches))
     depth = pyr.depth
     size = pyr.size
     n = ray_o.shape[0]
-    top = depth if start_level is None else start_level
 
-    o = ray_o.astype(F32)
-    d = ray_d.astype(F32)
-    inv_d = jnp.where(d == 0.0, F32(BIG_T), 1.0 / d)
-    step_dir = jnp.where(d > 0, 1, -1).astype(I32)
-    d_pos = (d > 0)
+    ox, oy, oz = (ray_o[:, i].astype(F32) for i in range(3))
+    dx, dy, dz = (ray_d[:, i].astype(F32) for i in range(3))
 
-    inside = jnp.all((o >= 0) & (o < size), axis=1)
-    status0 = jnp.where(inside, _ACTIVE, _MISS).astype(I32)
-    if active is not None:
-        status0 = jnp.where(active, status0, _MISS)
+    def inv(dc):
+        return jnp.where(dc == 0.0, F32(BIG_T), 1.0 / dc)
 
-    # start at `top` level in the cell containing the origin
-    lvl0 = jnp.full((n,), top, I32)
-    cell0 = jnp.clip((o // (1 << (2 * top))).astype(I32), 0,
-                     (size >> (2 * top)) - 1)
+    ray = (ox, oy, oz, dx, dy, dz, inv(dx), inv(dy), inv(dz),
+           jnp.where(dx > 0, 1, -1).astype(I32),
+           jnp.where(dy > 0, 1, -1).astype(I32),
+           jnp.where(dz > 0, 1, -1).astype(I32),
+           (dx > 0).astype(I32), (dy > 0).astype(I32), (dz > 0).astype(I32))
 
-    state = dict(
-        status=status0,
-        cell=cell0,
-        level=lvl0,
-        t=jnp.zeros((n,), F32),
-        face=jnp.zeros((n,), I32),
-        iters=jnp.zeros((n,), I32),
+    inside = ((ox >= 0) & (ox < size) & (oy >= 0) & (oy < size)
+              & (oz >= 0) & (oz < size))
+    act0 = inside if active is None else (inside & active)
+
+    zero_i = jnp.zeros((n,), I32)
+    zero_u = jnp.zeros((n,), U32)
+    top_child = F32(1.0 / (1 << (2 * (depth - 1))))
+    state = (
+        act0,                                    # ACT
+        jnp.zeros((n,), bool),                   # HIT
+        act0,                                    # PEND (root row fetch)
+        zero_i, zero_i, zero_i,                  # node (root cell 0)
+        jnp.full((n,), depth, I32),              # LVL
+        zero_u, zero_u, zero_u, zero_u,          # masks
+        jnp.clip((ox * top_child).astype(I32), 0, 3),   # local
+        jnp.clip((oy * top_child).astype(I32), 0, 3),
+        jnp.clip((oz * top_child).astype(I32), 0, 3),
+        jnp.zeros((n,), F32),                    # T
+        zero_i,                                  # FACE
+        jnp.full((n,), I32(pyr.bases[depth])),   # ADDR (root row)
+        zero_i, zero_i,                          # ITER, FETCH
+        jnp.ones((n,), I32),                     # HLVL
     )
 
-    def cond(s):
-        return jnp.any(s["status"] == _ACTIVE)
+    fetch, alu = _make_stepper(pyr, ray, max_steps, True)
 
-    def body(s):
-        act = s["status"] == _ACTIVE
-        cell, level, t = s["cell"], s["level"], s["t"]
+    def outputs(st, rr, oo):
+        oxx, oyy, ozz = oo
+        hit = st[_HIT]
+        face = st[_FACE]
+        hlvl = jnp.maximum(st[_HLVL] - 1, 0)     # hit child level
+        ccx = st[_NX] * 4 + st[_LX]
+        ccy = st[_NY] * 4 + st[_LY]
+        ccz = st[_NZ] * 4 + st[_LZ]
+        vsz = I32(1) << (2 * hlvl)
+        origin_f = _sel3(face, ccx, ccy, ccz) * vsz
+        neg = _sel3(face, rr[9], rr[10], rr[11]) < 0
+        axis_coord = origin_f + jnp.where(neg, vsz - 1, 0)
+        sv = _sel3(face, jnp.clip(oxx.astype(I32), 0, size - 1),
+                   jnp.clip(oyy.astype(I32), 0, size - 1),
+                   jnp.clip(ozz.astype(I32), 0, size - 1))
+        axis_coord = jnp.where(st[_T] == 0.0, sv, axis_coord)
+        return TraceResult(hit=hit, face=face,
+                           axis_coord=jnp.where(hit, axis_coord, 0),
+                           t=jnp.where(hit, st[_T], F32(BIG_T)),
+                           iterations=st[_ITER], fetches=st[_FETCH])
 
-        any_b, full_b = _cell_lookup(pyr, cell, level)
-        hit_now = act & any_b & ((level == 0) | full_b)
-        descend = act & any_b & ~hit_now
-        stepping = act & ~any_b
+    if not (compact and n >= 4096):
+        state = _run_groups(fetch, alu, state, None)
+        return outputs(state, ray, (ox, oy, oz))
 
-        # --- descend: child cell from current position, clamped to parent
-        child_log = 2 * jnp.maximum(level - 1, 0)
-        child_sz = (I32(1) << child_log).astype(F32)
-        p = o + d * t[:, None]
-        child = jnp.floor(p / child_sz[:, None]).astype(I32)
-        child = jnp.clip(child, cell * 4, cell * 4 + 3)
+    # ---- phase 1: bounded full-batch groups
+    state = _run_groups(fetch, alu, state, PHASE1_GROUPS)
 
-        # --- step: exit t of current cell
-        cell_log = 2 * level
-        csz = (I32(1) << cell_log)
-        bound = ((cell + d_pos.astype(I32)) * csz[:, None]).astype(F32)
-        t_ax = (bound - o) * inv_d
-        t_ax = jnp.where(d == 0.0, F32(BIG_T), t_ax)
-        t_exit, new_face = _argmin3_zyx(t_ax[:, 0], t_ax[:, 1], t_ax[:, 2])
-        stepped = cell + jnp.eye(3, dtype=I32)[new_face] * step_dir
-        s_lvl = (size >> (2 * jnp.clip(level, 0, depth)))
-        out = jnp.any((stepped < 0) | (stepped >= s_lvl[:, None]), axis=1)
-        # ascent: coarsest level whose boundary the crossed coordinate aligns to
-        crossed = stepped[jnp.arange(n), new_face]
-        cross_c = jnp.where(step_dir[jnp.arange(n), new_face] > 0,
-                            crossed, crossed + 1)
-        asc = _base4_trailing(cross_c, jnp.minimum(depth - 1 - level,
-                                                   jnp.full_like(level, 5)))
-        new_lvl_step = level + asc
-        new_cell_step = stepped >> (2 * asc)[:, None]
+    # ---- phase 2: front-pack surviving rays (a minimal 9-scalar state;
+    # masks are refetched via `pending`, the row address is recomputed)
+    n2 = max(n // PACK_FRACTION, 2048)
+    idx = jnp.nonzero(state[_ACT], size=n2, fill_value=n)[0]
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
 
-        # --- merge
-        status = jnp.where(hit_now, _HIT,
-                           jnp.where(stepping & out, _MISS, s["status"]))
-        ncell = jnp.where(descend[:, None], child,
-                          jnp.where(stepping[:, None], new_cell_step, cell))
-        nlevel = jnp.where(descend, level - 1,
-                           jnp.where(stepping, new_lvl_step, level))
-        nt = jnp.where(stepping, t_exit, t)
-        nface = jnp.where(stepping, new_face, s["face"])
-        iters = s["iters"] + act.astype(I32)
-        done_cap = iters >= max_steps
-        status = jnp.where((status == _ACTIVE) & done_cap, _MISS, status)
-        return dict(status=status, cell=ncell, level=nlevel, t=nt,
-                    face=nface, iters=iters)
+    so = ray_o[safe]
+    sd = ray_d[safe]
+    sox, soy, soz = (so[:, i].astype(F32) for i in range(3))
+    sdx, sdy, sdz = (sd[:, i].astype(F32) for i in range(3))
+    sray = (sox, soy, soz, sdx, sdy, sdz, inv(sdx), inv(sdy), inv(sdz),
+            jnp.where(sdx > 0, 1, -1).astype(I32),
+            jnp.where(sdy > 0, 1, -1).astype(I32),
+            jnp.where(sdz > 0, 1, -1).astype(I32),
+            (sdx > 0).astype(I32), (sdy > 0).astype(I32), (sdz > 0).astype(I32))
 
-    out = jax.lax.while_loop(cond, body, state)
+    snx, sny, snz = state[_NX][safe], state[_NY][safe], state[_NZ][safe]
+    slvl = state[_LVL][safe]
+    sfetch_fn, salu_fn = _make_stepper(pyr, sray, max_steps, True)
+    # recompute the node row address from (level, node cell)
+    bases_l = [I32(b) for b in pyr.bases]
+    ngrid_l = [I32(max(size >> (2 * lv), 1)) for lv in range(depth + 1)]
+    g = _sel_level(slvl, ngrid_l)
+    saddr = _sel_level(slvl, bases_l) + snx + sny * g + snz * g * g
+    zero2 = jnp.zeros((n2,), U32)
+    sub_state = (
+        valid,                                   # ACT (garbage lanes off)
+        jnp.zeros((n2,), bool),                  # HIT
+        valid,                                   # PEND -> refetch masks
+        snx, sny, snz,
+        slvl,
+        zero2, zero2, zero2, zero2,
+        state[_LX][safe], state[_LY][safe], state[_LZ][safe],
+        state[_T][safe],
+        state[_FACE][safe],
+        saddr,
+        state[_ITER][safe], state[_FETCH][safe],
+        jnp.ones((n2,), I32),
+    )
+    sub_state = _run_groups(sfetch_fn, salu_fn, sub_state, None)
 
-    hit = out["status"] == _HIT
-    cell, level, face = out["cell"], out["level"], out["face"]
-    vsz = (I32(1) << (2 * level))
-    origin_f = cell[jnp.arange(n), face] * vsz
-    neg = step_dir[jnp.arange(n), face] < 0
-    axis_coord = origin_f + jnp.where(neg, vsz - 1, 0)
-    # ray origin inside the hit cell (never stepped): the entry plane is the
-    # origin voxel's own (face 0), matching the dense-DDA oracle. (The
-    # reference returns the coarse cell plane here — a degenerate
-    # camera-inside-solid case we define more precisely.)
-    start_vox = jnp.clip(jnp.floor(o).astype(I32), 0, size - 1)
-    axis_coord = jnp.where(out["t"] == 0.0,
-                           start_vox[jnp.arange(n), face], axis_coord)
-    return TraceResult(hit=hit, face=face,
-                       axis_coord=jnp.where(hit, axis_coord, 0),
-                       t=jnp.where(hit, out["t"], F32(BIG_T)),
-                       iterations=out["iters"])
+    # deactivate packed lanes in the full state, then run the safety net for
+    # any overflow beyond the packed capacity (zero trips normally)
+    mark = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
+    state = tuple(
+        (x & ~mark) if i == _ACT else x for i, x in enumerate(state))
+    state = _run_groups(fetch, alu, state, None)
+
+    res = outputs(state, ray, (ox, oy, oz))
+    sres = outputs(sub_state, sray, (sox, soy, soz))
+
+    return TraceResult(
+        hit=res.hit.at[idx].set(jnp.where(valid, sres.hit, res.hit[safe]), mode="drop"),
+        face=res.face.at[idx].set(jnp.where(valid, sres.face, res.face[safe]), mode="drop"),
+        axis_coord=res.axis_coord.at[idx].set(
+            jnp.where(valid, sres.axis_coord, res.axis_coord[safe]), mode="drop"),
+        t=res.t.at[idx].set(jnp.where(valid, sres.t, res.t[safe]), mode="drop"),
+        iterations=res.iterations.at[idx].set(
+            jnp.where(valid, sres.iterations, res.iterations[safe]), mode="drop"),
+        fetches=res.fetches.at[idx].set(
+            jnp.where(valid, sres.fetches, res.fetches[safe]), mode="drop"),
+    )

@@ -16,7 +16,8 @@ from vvr_tpu.config import WorldConfig
 from vvr_tpu.world import cache as cache_mod
 from vvr_tpu.world.chunk import Chunk
 from vvr_tpu.world.generator import assemble_dense, generate_world
-from vvr_tpu.world.pyramid import OccupancyPyramid, build_pyramid_from_chunks
+from vvr_tpu.world.pyramid import (BrickPyramid, brick_pyramid_from_chunks,
+                                   build_pyramid_from_chunks)
 from vvr_tpu.world.svt import density_from_occupancy
 from vvr_tpu.world.tree import (SparseVoxelTree, bounds_pyramid_from_chunks,
                                 flatten_tree)
@@ -30,7 +31,7 @@ NUM_LIGHTS = 100  # src/renderer.rs:290
 class Scene:
     cfg: WorldConfig
     chunks: list
-    pyramid: OccupancyPyramid
+    pyramid: BrickPyramid    # traversal structure (ops/traverse.py)
     tree: SparseVoxelTree
     density: object          # jnp u8 (S,S,S) or None
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
@@ -76,10 +77,11 @@ def build_scene(cfg: WorldConfig, force_regenerate: bool = False,
         except OSError as e:  # pragma: no cover
             log.warning("could not write world cache: %s", e)
 
-    pyramid = build_pyramid_from_chunks(chunks, cfg.size)
+    pyramid = brick_pyramid_from_chunks(chunks, cfg.size)
     tree = None
     if with_tree:
-        tree = flatten_tree(pyramid, bounds_pyramid_from_chunks(chunks, cfg.size))
+        occ_pyr = build_pyramid_from_chunks(chunks, cfg.size)
+        tree = flatten_tree(occ_pyr, bounds_pyramid_from_chunks(chunks, cfg.size))
         log.info("tree: %s", tree.metrics)
     density = None
     if with_density:
