@@ -1,0 +1,120 @@
+"""Dynamic world: SVT brick pool, the voxel update pass, incremental edits."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vvr_tpu.world.bricks import (PAGE_EMPTY, PAGE_FULL, SparseVoxelTexture,
+                                  build_svt, is_solid, sample_colour_nearest,
+                                  svt_update_brick)
+from vvr_tpu.world.chunk import Chunk
+from vvr_tpu.world.edit import WorldEditor
+from vvr_tpu.world.pyramid import build_brick_pyramid
+from vvr_tpu.ops.traverse import trace
+from vvr_tpu.render.oracle import trace_dense
+
+
+def _mini_chunks():
+    full = Chunk([0, 0, 0], np.ones((64,) * 3, bool)).rebuild()
+    empty = Chunk([1, 0, 0], np.zeros((64,) * 3, bool)).rebuild()
+    part_vox = np.zeros((64,) * 3, bool)
+    part_vox[:8] = True  # bottom slab solid (z < 8)
+    partial = Chunk([0, 1, 0], part_vox).rebuild()
+    return [full, empty, partial]
+
+
+def test_build_svt_pages():
+    svt = build_svt(_mini_chunks(), 128)
+    page = np.asarray(svt.page_table)
+    assert page[0, 0, 0] == PAGE_FULL
+    assert page[0, 0, 1] == PAGE_EMPTY
+    assert page[0, 1, 0] >= 0
+    assert np.asarray(svt.metadata)[0, 0, 0] == 255
+    assert svt.num_bricks == 1
+
+
+def test_is_solid_semantics():
+    svt = build_svt(_mini_chunks(), 128)
+    pos = jnp.asarray([[5, 5, 5],      # in full chunk
+                       [70, 5, 5],     # in empty chunk
+                       [5, 70, 3],     # partial chunk, solid slab (z=3)
+                       [5, 70, 40]],   # partial chunk, air
+                      jnp.int32)
+    got = np.asarray(is_solid(svt, pos))
+    assert got.tolist() == [True, False, True, False]
+
+
+def test_svt_update_pass():
+    svt = build_svt(_mini_chunks(), 128)
+    slot = np.asarray(svt.page_table)[0, 1, 0]
+    bricks = svt_update_brick(svt.bricks, jnp.int32(slot),
+                              jnp.asarray([0, 64, 0], jnp.int32))
+    b = np.asarray(bricks[slot])
+    # solid voxels got a hash colour with alpha 255
+    assert b[3, 5, 5, 3] == 255
+    assert b[3, 5, 5, :3].sum() > 0
+    # air stays air-ish (blur of mostly zeros)
+    assert b[40, 5, 5, 3] < 255
+    # second pass: blur spreads colour into air near the surface
+    bricks2 = svt_update_brick(bricks, jnp.int32(slot),
+                               jnp.asarray([0, 64, 0], jnp.int32))
+    b2 = np.asarray(bricks2[slot])
+    assert b2[8, 5, 5, :3].sum() > 0  # just above the slab
+
+
+def test_colour_sample():
+    svt = build_svt(_mini_chunks(), 128)
+    col = np.asarray(sample_colour_nearest(
+        svt, jnp.asarray([[5.5, 5.5, 5.5], [70.2, 5.5, 5.5]], jnp.float32)))
+    assert col[0, 3] == 1.0   # full chunk -> alpha 1
+    assert col[1, 3] == 0.0   # empty chunk
+
+
+def test_edits_update_traversal():
+    rng = np.random.default_rng(0)
+    occ = np.zeros((64, 64, 64), bool)
+    occ[10, :, :] = True  # slab at z=10
+    chunks = [Chunk([0, 0, 0], occ).rebuild()]
+    pyr = build_brick_pyramid(occ)
+    ed = WorldEditor(chunks, pyr)
+
+    # carve a hole and shoot a ray through it
+    hole = [(31, 31), (31, 32), (32, 31), (32, 32)]
+    ed.set_voxels(np.array([[x, y, 10] for x, y in hole]), solid=False)
+    o = jnp.asarray([[31.5, 31.5, 0.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    res = trace(ed.pyramid, o, d)
+    assert not bool(np.asarray(res.hit)[0])  # flies through the hole
+    # a neighbouring ray still hits the slab
+    o2 = jnp.asarray([[40.5, 31.5, 0.5]], jnp.float32)
+    res2 = trace(ed.pyramid, o2, d)
+    assert bool(np.asarray(res2.hit)[0])
+    assert int(np.asarray(res2.axis_coord)[0]) == 10
+
+    # add a floating block and hit it
+    ed.set_voxels(np.array([[31, 31, 5]]), solid=True)
+    res3 = trace(ed.pyramid, o, d)
+    assert bool(np.asarray(res3.hit)[0])
+    assert int(np.asarray(res3.axis_coord)[0]) == 5
+
+    # after edits the pyramid must equal a from-scratch build
+    fresh = build_brick_pyramid(ed.occupancy())
+    np.testing.assert_array_equal(np.asarray(fresh.rows),
+                                  np.asarray(ed.pyramid.rows))
+
+
+def test_edit_full_and_empty_transitions():
+    occ = np.ones((16, 16, 16), bool)
+    chunks = []  # chunk granularity is 64; 16^3 world has no chunk list
+    pyr = build_brick_pyramid(occ)
+    ed = WorldEditor([], pyr)
+    ed._occ[:] = occ
+    ed.set_voxels(np.array([[0, 0, 0]]), solid=False)
+    # root full bit must have dropped: a ray to the corner now hits deeper
+    res = trace(ed.pyramid, jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32),
+                jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32))
+    ref = trace_dense(ed.occupancy(),
+                      np.array([[0.5, 0.5, 0.5]], np.float32),
+                      np.array([[1.0, 0.0, 0.0]], np.float32))
+    assert bool(np.asarray(res.hit)[0]) == bool(ref["hit"][0])
+    assert int(np.asarray(res.axis_coord)[0]) == int(ref["axis_coord"][0]) == 1

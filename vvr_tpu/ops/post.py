@@ -80,15 +80,35 @@ def bloom_downsample(prev, next_h: int, next_w: int):
     Tap (dx, dy) in {-1,0,1}^2 samples texel coords (2j+dy+0.5, 2i+dx+0.5),
     i.e. half-grid entry (2j+dy+1, 2i+dx+1)."""
     hg = _half_grid(prev)                # (h+1, w+1, 4)
-    # pad so index 2i+dx+1 is valid for dx=1 at the last i
-    pad_y = max(0, (2 * (next_h - 1) + 2 + 1) - hg.shape[0])
-    pad_x = max(0, (2 * (next_w - 1) + 2 + 1) - hg.shape[1])
-    hg = jnp.pad(hg, ((0, pad_y), (0, pad_x), (0, 0)), mode="edge")
+    # pad to (2*next_h+2, 2*next_w+2) and view as (next_h+1, 2, next_w+1, 2):
+    # element (2a+b) of a stride-2 pattern is view[a, b] — plain slices only
+    # (stride-2 slicing on the sublane/lane dims is slow on TPU).
+    pad_y = 2 * next_h + 2 - hg.shape[0]
+    pad_x = 2 * next_w + 2 - hg.shape[1]
+    hg = jnp.pad(hg, ((0, max(pad_y, 0)), (0, max(pad_x, 0)), (0, 0)),
+                 mode="edge")
+    v = hg[:2 * next_h + 2, :2 * next_w + 2].reshape(
+        next_h + 1, 2, next_w + 1, 2, 4)
+
+    def row_tap(dy):
+        # rows r = 1+dy+2i for i in [0, next_h): dy=-1 -> v[i,0];
+        # dy=0 -> v[i,1]; dy=1 -> v[i+1,0]
+        if dy == -1:
+            return v[:next_h, 0]
+        if dy == 0:
+            return v[:next_h, 1]
+        return v[1:next_h + 1, 0]
+
     acc = jnp.zeros((next_h, next_w, 4), F32)
     for dy in (-1, 0, 1):
+        rt = row_tap(dy)                 # (next_h, next_w+1, 2, 4)
         for dx in (-1, 0, 1):
-            tap = hg[1 + dy:1 + dy + 2 * next_h:2,
-                     1 + dx:1 + dx + 2 * next_w:2]
+            if dx == -1:
+                tap = rt[:, :next_w, 0]
+            elif dx == 0:
+                tap = rt[:, :next_w, 1]
+            else:
+                tap = rt[:, 1:next_w + 1, 0]
             keep = jnp.linalg.norm(tap, axis=-1, keepdims=True) > 0.6
             acc = acc + jnp.where(keep, jnp.clip(tap, 0.0, 1000.0), 0.0)
     return acc / 9.0

@@ -58,9 +58,9 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 BIG_T = 1e30
-FETCH_EVERY = 4      # sub-steps per group; first one carries the gather
-PHASE1_GROUPS = 10   # groups before straggler compaction
-PACK_FRACTION = 4    # packed phase capacity = N / PACK_FRACTION
+FETCH_EVERY = 4      # default sub-steps per group; first carries the gather
+PHASE1_GROUPS = 10   # default groups before straggler compaction
+PACK_FRACTION = 4    # default packed capacity = N / PACK_FRACTION
 
 
 @jax.tree_util.register_pytree_node_class
@@ -254,12 +254,12 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool):
     return fetch, alu
 
 
-def _run_groups(fetch, alu, state, n_groups: int | None):
-    """Run (fetch + (FETCH_EVERY-1) alu) groups; bounded if n_groups given,
+def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
+    """Run (fetch + (fetch_every-1) alu) groups; bounded if n_groups given,
     else while any ray is active."""
     def group(s):
         s = fetch(s)
-        for _ in range(FETCH_EVERY - 1):
+        for _ in range(fetch_every - 1):
             s = alu(s)
         return s
 
@@ -274,10 +274,13 @@ def _run_groups(fetch, alu, state, n_groups: int | None):
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "compact",
-                                             "pack_first"))
+                                             "pack_first", "fetch_every",
+                                             "phase1_groups", "pack_fraction"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
-          pack_first: int | None = None) -> TraceResult:
+          pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
+          phase1_groups: int = PHASE1_GROUPS,
+          pack_fraction: int = PACK_FRACTION) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
     pack_first: if given (static), rays with active=True are front-packed
@@ -291,13 +294,16 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         p_valid = np_idx < n
         p_safe = jnp.minimum(np_idx, n - 1)
         sub = trace(pyr, ray_o[p_safe], ray_d[p_safe], max_steps=max_steps,
-                    active=p_valid, compact=compact, pack_first=None)
+                    active=p_valid, compact=compact, pack_first=None,
+                    fetch_every=fetch_every, phase1_groups=phase1_groups,
+                    pack_fraction=pack_fraction)
         # overflow lanes (beyond capacity) traced at full width; zero work
         # when everything fit
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
         overflow = active & ~packed_mark
         rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
-                     active=overflow, compact=False, pack_first=None)
+                     active=overflow, compact=False, pack_first=None,
+                     fetch_every=fetch_every)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),
@@ -373,15 +379,15 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
                            iterations=st[_ITER], fetches=st[_FETCH])
 
     if not (compact and n >= 4096):
-        state = _run_groups(fetch, alu, state, None)
+        state = _run_groups(fetch, alu, state, None, fetch_every)
         return outputs(state, ray, (ox, oy, oz))
 
     # ---- phase 1: bounded full-batch groups
-    state = _run_groups(fetch, alu, state, PHASE1_GROUPS)
+    state = _run_groups(fetch, alu, state, phase1_groups, fetch_every)
 
     # ---- phase 2: front-pack surviving rays (a minimal 9-scalar state;
     # masks are refetched via `pending`, the row address is recomputed)
-    n2 = max(n // PACK_FRACTION, 2048)
+    n2 = max(n // pack_fraction, 2048)
     idx = jnp.nonzero(state[_ACT], size=n2, fill_value=n)[0]
     valid = idx < n
     safe = jnp.minimum(idx, n - 1)
@@ -419,14 +425,14 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         state[_ITER][safe], state[_FETCH][safe],
         jnp.ones((n2,), I32),
     )
-    sub_state = _run_groups(sfetch_fn, salu_fn, sub_state, None)
+    sub_state = _run_groups(sfetch_fn, salu_fn, sub_state, None, fetch_every)
 
     # deactivate packed lanes in the full state, then run the safety net for
     # any overflow beyond the packed capacity (zero trips normally)
     mark = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
     state = tuple(
         (x & ~mark) if i == _ACT else x for i, x in enumerate(state))
-    state = _run_groups(fetch, alu, state, None)
+    state = _run_groups(fetch, alu, state, None, fetch_every)
 
     res = outputs(state, ray, (ox, oy, oz))
     sres = outputs(sub_state, sray, (sox, soy, soz))

@@ -23,11 +23,18 @@ BIG_T = np.float32(1e30)
 
 
 def trace_dense(occ: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray,
-                max_steps: int | None = None):
+                max_steps: int | None = None, prefer_native: bool = True):
     """occ: bool (S,S,S) [z,y,x]. ray_o/ray_d: (N,3) f32.
 
     Returns dict(hit (N,) bool, face (N,) i32, axis_coord (N,) i32, t (N,) f32).
+    Uses the C++ implementation (vvr_tpu/native) when built; this NumPy body
+    is the semantic definition and fallback (they are tested equal).
     """
+    if prefer_native:
+        from vvr_tpu import native
+        res = native.trace_dense_native(occ, ray_o, ray_d, max_steps)
+        if res is not None:
+            return res
     occ = np.asarray(occ, bool)
     size = occ.shape[0]
     if max_steps is None:

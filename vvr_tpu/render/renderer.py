@@ -29,13 +29,18 @@ DEFAULT_SUN = np.array([-0.28, 0.65, -0.71, 0.0], np.float32)
 class Renderer:
     def __init__(self, world_cfg: WorldConfig, render_cfg: RenderConfig,
                  scene: Scene | None = None, force_regenerate: bool = False,
-                 mirror_materials: bool = False):
+                 mirror_materials: bool = False, dynamic_world: bool = False):
         self.world_cfg = world_cfg
         self.cfg = render_cfg
         self.scene = scene or build_scene(
             world_cfg, force_regenerate=force_regenerate,
             with_density=render_cfg.ambient_occlusion)
         self.mirror_materials = mirror_materials
+        self.dynamic_world = dynamic_world
+        self.svt = None
+        if dynamic_world:
+            from vvr_tpu.world.bricks import build_svt
+            self.svt = build_svt(self.scene.chunks, self.scene.size)
         self.stats = Statistics()
         self.frame_count = 0
         self.elapsed = 0.0
@@ -62,6 +67,15 @@ class Renderer:
         """One frame -> (H, W, 3) u8. With timed=True, blocks and records the
         pass time into Statistics."""
         t = self.elapsed if time is None else time
+        # dynamic world: the per-frame SVT colorize/blur pass on one partial
+        # brick, round-robin (renderer.rs:581-609 / voxel_interesting_compute)
+        if self.svt is not None and self.svt.num_bricks > 0:
+            from vvr_tpu.world.bricks import svt_update_brick
+            slot = self.frame_count % self.svt.num_bricks
+            self.svt.bricks = svt_update_brick(
+                self.svt.bricks, jax.numpy.int32(slot), self.svt.origins[slot])
+        # animated point lights (renderer.rs:494-505)
+        self.scene.animate_lights(camera.position, t, 1.0 / 60.0)
         o, d = camera_rays(camera, self.cfg.render_width, self.cfg.render_height)
         t0 = _time.monotonic()
         img, _hdr = render_frame(
@@ -78,6 +92,17 @@ class Renderer:
             log.info("Sample Count: %d, Avg: %.3fms, StdDev: %.4f",
                      res["samples"], res["avg_ms"], res["stddev"])
         return np.asarray(img)
+
+    def memory_report(self) -> dict:
+        """Device-buffer size report (the J-key gpu-allocator report analog,
+        src/renderer.rs:451-454)."""
+        rep = {"pyramid_rows_mb": self.scene.pyramid.rows.nbytes / 2 ** 20}
+        if self.scene.density is not None:
+            rep["density_mb"] = self.scene.density.nbytes / 2 ** 20
+        if self.svt is not None:
+            rep["svt_bricks_mb"] = self.svt.bricks.nbytes / 2 ** 20
+        rep["lights_kb"] = self.scene.lights.nbytes / 1024
+        return rep
 
     def benchmark(self, camera: Camera, duration_s: float = 2.0,
                   warmup: int = 2) -> dict:

@@ -32,11 +32,15 @@ def sample_density_trilinear(density, pos):
     f = p - p0
     p0 = p0.astype(I32)
 
+    flat = density.reshape(-1)
+
     def tap(dx, dy, dz):
         x = jnp.clip(p0[..., 0] + dx, 0, s - 1)
         y = jnp.clip(p0[..., 1] + dy, 0, s - 1)
         z = jnp.clip(p0[..., 2] + dz, 0, s - 1)
-        return density[z, y, x].astype(F32) / 255.0
+        # flat 1D gather (multi-axis fancy indexing lowers poorly on TPU)
+        return jnp.take(flat, (z * s + y) * s + x,
+                        mode="clip").astype(F32) / 255.0
 
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     c00 = tap(0, 0, 0) * (1 - fx) + tap(1, 0, 0) * fx
