@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1=combined 2=iterations 3=fetches 4=normals 5=world")
     p.add_argument("--mirror-materials", action="store_true",
                    help="enable the hash-driven mirror-block material rule")
+    p.add_argument("--point-lights", action="store_true",
+                   help="enable the 10-light point-light loop")
+    p.add_argument("--dynamic-world", action="store_true",
+                   help="run the per-frame SVT colorize/blur pass")
+    p.add_argument("--export-mesh", type=str, default=None,
+                   help="write the surface-nets world mesh to an OBJ file")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of one frame")
     p.add_argument("--no-bloom", action="store_true")
     return p
 
@@ -83,10 +91,18 @@ def main(argv=None) -> int:
         enable_debug_stuff=args.enable_debug_stuff,
         debug_type=args.debug_type,
         bloom_enabled=not args.no_bloom,
+        point_lights=args.point_lights,
     )
 
     r = Renderer(world_cfg, render_cfg, force_regenerate=args.force_regenerate,
-                 mirror_materials=args.mirror_materials)
+                 mirror_materials=args.mirror_materials,
+                 dynamic_world=args.dynamic_world)
+    if args.export_mesh:
+        from vvr_tpu.world.mesher import VoxelMeshBuffers
+        buf = VoxelMeshBuffers.build(r.scene.chunks)
+        buf.export_obj(args.export_mesh)
+        print(f"wrote {args.export_mesh} ({len(buf.vertices)} verts, "
+              f"{len(buf.indices)} indices, {len(buf.ranges)} chunks)")
     if args.sun is not None:
         sun = np.asarray(args.sun, np.float32)
         r.sun = np.concatenate([sun / np.linalg.norm(sun), [0.0]]).astype(np.float32)
@@ -106,6 +122,10 @@ def main(argv=None) -> int:
         print(f"{res['mrays_per_s']:.1f} Mrays/s, {res['fps']:.1f} fps "
               f"({r.rays_per_frame} rays/frame)")
         return 0
+
+    if args.profile:
+        r.profile_frame(cam)
+        print("profiler trace written to /tmp/vvr_trace")
 
     img = None
     t0 = time.monotonic()

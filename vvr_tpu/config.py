@@ -55,6 +55,7 @@ class RenderConfig:
     wavy_reflections: bool = False
     pixelated_shadows: bool = False
     enable_debug_stuff: bool = False
+    point_lights: bool = False      # the reference's (disabled) 10-light loop
     debug_type: int = 6             # 0=raster dbg,1=combined,2=iters,3=fetches,
                                     # 4=normals,5=world,6=combined (main path)
     # TPU knobs (no reference analog; group_size_exp becomes the ray tile)

@@ -106,12 +106,55 @@ def material_at(block_pos, world_size: int, mirror_materials: bool = False):
 
 def get_face_normal(face, dir_sign):
     """-(face == axis) * sign (other.slang:62-64): the entry-face normal
-    opposes the ray direction on that axis."""
-    eye = jnp.eye(3, dtype=F32)[face]
-    return -eye * dir_sign
+    opposes the ray direction on that axis. Select-based (a per-row eye[face]
+    gather lowers poorly on TPU)."""
+    fsel = jnp.stack([face == 0, face == 1, face == 2], -1).astype(F32)
+    return -fsel * dir_sign
 
 
 def aces(x):
     """ACES filmic tonemap (lighting.slang:7-14)."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def ao_solver(is_solid_fn, block_pos, uv, face, dir_sign):
+    """Minecraft-style smooth per-vertex AO (lighting.slang:16-90): for each
+    axis, probe the 4 corner + 4 side neighbours one step off the hit face
+    (offset flipped by the ray sign on that axis), spread side occlusion to
+    adjacent corners, and bilinearly interpolate by the in-face uv. Returns
+    ao in [0, 1] (product over the three axis solves, :84-89).
+
+    is_solid_fn: callable (..., 3) int -> bool (e.g. world.bricks.is_solid or
+    a dense-occupancy lookup). block_pos (..., 3) i32; uv (..., 3) f32
+    fractional position in the block; face (...,) i32; dir_sign (..., 3) f32.
+    """
+    corners = [(-1, -1), (-1, 1), (1, -1), (1, 1)]          # :33-38
+    sides = [(-1, 0), (1, 0), (0, -1), (0, 1)]              # :40-45
+    corner_from_side = [(0, 1), (2, 3), (0, 2), (1, 3)]     # :47-52
+
+    def check(offset_axis_i, oa, ob, i, a, b, target_face):
+        # check(): flip the probe along the target axis when the ray sign is
+        # negative there (:22-28); only contributes when face == target axis.
+        off = [None, None, None]
+        off[i] = jnp.where(dir_sign[..., i] < 0,
+                           -offset_axis_i, offset_axis_i)
+        off[a] = jnp.full_like(block_pos[..., 0], oa)
+        off[b] = jnp.full_like(block_pos[..., 0], ob)
+        probe = block_pos + jnp.stack([off[0], off[1], off[2]], -1)
+        return (face == i) & is_solid_fn(probe)
+
+    total = jnp.ones(block_pos.shape[:-1], F32)
+    for i, a, b in ((0, 1, 2), (2, 1, 0), (1, 0, 2)):        # :84-87
+        c = [check(-1, ca, cb, i, a, b, i) for (ca, cb) in corners]
+        for s, (sa, sb) in enumerate(sides):
+            side_occ = check(-1, sa, sb, i, a, b, i)
+            for ci in corner_from_side[s]:
+                c[ci] = c[ci] | side_occ
+        sel = [jnp.where(x, 1.0, 0.0) for x in c]
+        ub = uv[..., b]
+        ua = uv[..., a]
+        interp = 1.0 - ((sel[0] + (sel[1] - sel[0]) * ub) * (1.0 - ua)
+                        + (sel[2] + (sel[3] - sel[2]) * ub) * ua)
+        total = total * interp
+    return total

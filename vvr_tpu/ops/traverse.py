@@ -275,12 +275,14 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "compact",
                                              "pack_first", "fetch_every",
-                                             "phase1_groups", "pack_fraction"))
+                                             "phase1_groups", "pack_fraction",
+                                             "with_stats"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
           pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
           phase1_groups: int = PHASE1_GROUPS,
-          pack_fraction: int = PACK_FRACTION) -> TraceResult:
+          pack_fraction: int = PACK_FRACTION,
+          with_stats: bool = True) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
     pack_first: if given (static), rays with active=True are front-packed
@@ -296,14 +298,14 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         sub = trace(pyr, ray_o[p_safe], ray_d[p_safe], max_steps=max_steps,
                     active=p_valid, compact=compact, pack_first=None,
                     fetch_every=fetch_every, phase1_groups=phase1_groups,
-                    pack_fraction=pack_fraction)
+                    pack_fraction=pack_fraction, with_stats=with_stats)
         # overflow lanes (beyond capacity) traced at full width; zero work
         # when everything fit
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
         overflow = active & ~packed_mark
         rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
                      active=overflow, compact=False, pack_first=None,
-                     fetch_every=fetch_every)
+                     fetch_every=fetch_every, with_stats=with_stats)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),
@@ -355,7 +357,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         jnp.ones((n,), I32),                     # HLVL
     )
 
-    fetch, alu = _make_stepper(pyr, ray, max_steps, True)
+    fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats)
 
     def outputs(st, rr, oo):
         oxx, oyy, ozz = oo
@@ -382,69 +384,90 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         state = _run_groups(fetch, alu, state, None, fetch_every)
         return outputs(state, ray, (ox, oy, oz))
 
-    # ---- phase 1: bounded full-batch groups
-    state = _run_groups(fetch, alu, state, phase1_groups, fetch_every)
+    # ---- compaction cascade: bounded full-width groups, then repeatedly
+    # front-pack survivors into geometrically smaller batches. Each level
+    # keeps a full-width safety net (zero trips unless its pack capacity
+    # overflowed), so results are exact for any survivor distribution.
+    def make_ray(ro, rd):
+        rox, roy, roz = (ro[:, i].astype(F32) for i in range(3))
+        rdx, rdy, rdz = (rd[:, i].astype(F32) for i in range(3))
+        return (rox, roy, roz, rdx, rdy, rdz, inv(rdx), inv(rdy), inv(rdz),
+                jnp.where(rdx > 0, 1, -1).astype(I32),
+                jnp.where(rdy > 0, 1, -1).astype(I32),
+                jnp.where(rdz > 0, 1, -1).astype(I32),
+                (rdx > 0).astype(I32), (rdy > 0).astype(I32),
+                (rdz > 0).astype(I32))
 
-    # ---- phase 2: front-pack surviving rays (a minimal 9-scalar state;
-    # masks are refetched via `pending`, the row address is recomputed)
-    n2 = max(n // pack_fraction, 2048)
-    idx = jnp.nonzero(state[_ACT], size=n2, fill_value=n)[0]
-    valid = idx < n
-    safe = jnp.minimum(idx, n - 1)
-
-    so = ray_o[safe]
-    sd = ray_d[safe]
-    sox, soy, soz = (so[:, i].astype(F32) for i in range(3))
-    sdx, sdy, sdz = (sd[:, i].astype(F32) for i in range(3))
-    sray = (sox, soy, soz, sdx, sdy, sdz, inv(sdx), inv(sdy), inv(sdz),
-            jnp.where(sdx > 0, 1, -1).astype(I32),
-            jnp.where(sdy > 0, 1, -1).astype(I32),
-            jnp.where(sdz > 0, 1, -1).astype(I32),
-            (sdx > 0).astype(I32), (sdy > 0).astype(I32), (sdz > 0).astype(I32))
-
-    snx, sny, snz = state[_NX][safe], state[_NY][safe], state[_NZ][safe]
-    slvl = state[_LVL][safe]
-    sfetch_fn, salu_fn = _make_stepper(pyr, sray, max_steps, True)
-    # recompute the node row address from (level, node cell)
     bases_l = [I32(b) for b in pyr.bases]
     ngrid_l = [I32(max(size >> (2 * lv), 1)) for lv in range(depth + 1)]
-    g = _sel_level(slvl, ngrid_l)
-    saddr = _sel_level(slvl, bases_l) + snx + sny * g + snz * g * g
-    zero2 = jnp.zeros((n2,), U32)
-    sub_state = (
-        valid,                                   # ACT (garbage lanes off)
-        jnp.zeros((n2,), bool),                  # HIT
-        valid,                                   # PEND -> refetch masks
-        snx, sny, snz,
-        slvl,
-        zero2, zero2, zero2, zero2,
-        state[_LX][safe], state[_LY][safe], state[_LZ][safe],
-        state[_T][safe],
-        state[_FACE][safe],
-        saddr,
-        state[_ITER][safe], state[_FETCH][safe],
-        jnp.ones((n2,), I32),
-    )
-    sub_state = _run_groups(sfetch_fn, salu_fn, sub_state, None, fetch_every)
 
-    # deactivate packed lanes in the full state, then run the safety net for
-    # any overflow beyond the packed capacity (zero trips normally)
-    mark = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
-    state = tuple(
-        (x & ~mark) if i == _ACT else x for i, x in enumerate(state))
-    state = _run_groups(fetch, alu, state, None, fetch_every)
+    def finish(st, ro, rd, rr, rounds):
+        """Run the remaining cascade on (state, rays); returns TraceResult."""
+        f_fn, a_fn = _make_stepper(pyr, rr, max_steps, with_stats)
+        o3 = (rr[0], rr[1], rr[2])
+        m0 = ro.shape[0]
+        if not rounds:
+            with jax.named_scope(f"tr_final_while_w{m0}"):
+                st = _run_groups(f_fn, a_fn, st, None, fetch_every)
+            return outputs(st, rr, o3)
 
-    res = outputs(state, ray, (ox, oy, oz))
-    sres = outputs(sub_state, sray, (sox, soy, soz))
+        cap, groups = rounds[0]
+        with jax.named_scope(f"tr_groups_w{m0}"):
+            st = _run_groups(f_fn, a_fn, st, groups, fetch_every)
 
-    return TraceResult(
-        hit=res.hit.at[idx].set(jnp.where(valid, sres.hit, res.hit[safe]), mode="drop"),
-        face=res.face.at[idx].set(jnp.where(valid, sres.face, res.face[safe]), mode="drop"),
-        axis_coord=res.axis_coord.at[idx].set(
-            jnp.where(valid, sres.axis_coord, res.axis_coord[safe]), mode="drop"),
-        t=res.t.at[idx].set(jnp.where(valid, sres.t, res.t[safe]), mode="drop"),
-        iterations=res.iterations.at[idx].set(
-            jnp.where(valid, sres.iterations, res.iterations[safe]), mode="drop"),
-        fetches=res.fetches.at[idx].set(
-            jnp.where(valid, sres.fetches, res.fetches[safe]), mode="drop"),
-    )
+        m = ro.shape[0]
+        idx = jnp.nonzero(st[_ACT], size=cap, fill_value=m)[0]
+        valid = idx < m
+        safe = jnp.minimum(idx, m - 1)
+        sro = ro[safe]
+        srd = rd[safe]
+        srr = make_ray(sro, srd)
+
+        snx, sny, snz = st[_NX][safe], st[_NY][safe], st[_NZ][safe]
+        slvl = st[_LVL][safe]
+        g = _sel_level(slvl, ngrid_l)
+        saddr = _sel_level(slvl, bases_l) + snx + sny * g + snz * g * g
+        zc = jnp.zeros((cap,), U32)
+        sub = (
+            valid, jnp.zeros((cap,), bool), valid,
+            snx, sny, snz, slvl,
+            zc, zc, zc, zc,
+            st[_LX][safe], st[_LY][safe], st[_LZ][safe],
+            st[_T][safe], st[_FACE][safe], saddr,
+            st[_ITER][safe], st[_FETCH][safe], jnp.ones((cap,), I32),
+        )
+        sres = finish(sub, sro, srd, srr, rounds[1:])
+
+        # deactivate packed lanes; safety net for capacity overflow
+        mark = jnp.zeros((m,), bool).at[idx].set(valid, mode="drop")
+        st = tuple((x & ~mark) if i == _ACT else x for i, x in enumerate(st))
+        with jax.named_scope(f"tr_net_w{m}"):
+            st = _run_groups(f_fn, a_fn, st, None, fetch_every)
+        res = outputs(st, rr, o3)
+
+        def merge(a, b):
+            # fill slots carry idx == m and are dropped by the scatter
+            return a.at[idx].set(b, mode="drop")
+        return TraceResult(
+            hit=merge(res.hit, sres.hit),
+            face=merge(res.face, sres.face),
+            axis_coord=merge(res.axis_coord, sres.axis_coord),
+            t=merge(res.t, sres.t),
+            iterations=merge(res.iterations, sres.iterations) if with_stats
+            else res.iterations,
+            fetches=merge(res.fetches, sres.fetches) if with_stats
+            else res.fetches)
+
+    # phase 1 at full width, then the cascade. finish()'s convention per
+    # entry (cap, groups): run `groups` at the current width, then pack
+    # survivors into `cap`; the recursion base runs while-till-done at the
+    # smallest width. Survivor fractions shrink faster than capacities, and
+    # every level's safety net covers overflow exactly.
+    with jax.named_scope(f"tr_phase1_w{n}"):
+        state = _run_groups(fetch, alu, state, phase1_groups, fetch_every)
+    seq = [
+        (max(n // 2, 2048), 0),
+        (max(n // pack_fraction, 2048), 6),
+        (max(n // (4 * pack_fraction), 2048), 10),
+    ]
+    return finish(state, ray_o, ray_d, ray, seq)

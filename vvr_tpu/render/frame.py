@@ -53,7 +53,8 @@ def heatmap(x):
 
 
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
-                  svt_density=None, mirror_materials: bool = False):
+                  svt_density=None, mirror_materials: bool = False,
+                  lights=None):
     """The megakernel as a wavefront (rays flat (N,3)). Returns
     (rgb (N,3), alpha (N,), first-hit debug dict)."""
     n = o.shape[0]
@@ -68,28 +69,36 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     sun_col = sky_ops.sun_colour(sun3)
     sun_colour_final = jnp.where(sun3[1] > 0, 3.2 * sun_col, 0.0)
 
+    need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES)
     for bounce in range(cfg.max_ray_iterations):
-        res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active)
+        res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active,
+                    with_stats=need_stats)
         hit = res.hit & active
         sgn = jnp.where(d >= 0, 1.0, -1.0)
         normal = shade_ops.get_face_normal(res.face, sgn)
 
         # exact hit reconstruction via ray-plane solve (raytracer.slang:169-177,
         # other.slang:36-43): the entry plane sits at axis_coord, +1 when
-        # entering from the high side.
-        ar = jnp.arange(n)
+        # entering from the high side. All face-indexed values go through
+        # selects — per-row dynamic indexing is a slow gather on TPU.
+        face = res.face
+
+        def sel_face(vec):
+            return jnp.where(face == 0, vec[:, 0],
+                             jnp.where(face == 1, vec[:, 1], vec[:, 2]))
+
         k = res.axis_coord.astype(F32)
-        plane = k + jnp.where(sgn[ar, res.face] < 0, 1.0, 0.0)
-        df = d[ar, res.face]
-        dist = (plane - o[ar, res.face]) / jnp.where(jnp.abs(df) < 1e-12,
-                                                     1e-12, df)
+        plane = k + jnp.where(sel_face(sgn) < 0, 1.0, 0.0)
+        df = sel_face(d)
+        dist = (plane - sel_face(o)) / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
         world = o + d * dist[:, None]
-        world = world.at[ar, res.face].set(plane)
+        fsel = jnp.stack([face == 0, face == 1, face == 2], -1)
+        world = jnp.where(fsel, plane[:, None], world)
         # hit voxel coordinate: exact on the face axis (we use the true hit
         # voxel; the reference floors the plane coordinate, which lands in
         # the *neighbour* cell on negative faces — a quirk we define away)
-        block_pos = jnp.floor(world).astype(I32)
-        block_pos = block_pos.at[ar, res.face].set(res.axis_coord)
+        block_pos = jnp.where(fsel, res.axis_coord[:, None],
+                              jnp.floor(world).astype(I32))
 
         albedo, rough, metal, special = shade_ops.material_at(
             block_pos, size, mirror_materials)
@@ -126,7 +135,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                     jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
                 s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                              active=shaded, pack_first=pack_cap).hit
+                              active=shaded, pack_first=pack_cap,
+                              with_stats=False).hit
                 cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
                 shadow = shadow + jnp.where(
                     s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
@@ -134,7 +144,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
             s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                          active=shaded, pack_first=pack_cap).hit
+                          active=shaded, pack_first=pack_cap,
+                          with_stats=False).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:
@@ -144,6 +155,28 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             world, albedo, normal, rough, metal,
             jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
             sun_colour_final)
+        # animated point lights (raytracer.slang:364-381 — the reference's
+        # disabled loop, here behind cfg.point_lights): first 10 lights,
+        # 10-unit radius, inverse-square falloff, shadow by distance compare
+        if cfg.point_lights and lights is not None:
+            for li in range(min(10, lights.shape[0])):
+                lp = lights[li, :3]
+                to_pos = shadow_start - lp[None, :]
+                dist_l = jnp.linalg.norm(to_pos, axis=-1)
+                near = shaded & (dist_l < 10.0)
+                ldir = to_pos / jnp.maximum(dist_l, 1e-6)[:, None]
+                lres = trace(pyr, jnp.broadcast_to(lp, (n, 3)), ldir,
+                             max_steps=cfg.traversal_max_steps, active=near,
+                             pack_first=max(n // 8, 2048) if n >= 4096 else None,
+                             with_stats=False)
+                unshadowed = (lres.t + 0.1) > dist_l
+                n_dot_l = jnp.clip(jnp.sum(normal * (-ldir), -1), 0.0, 1.0)
+                s = jnp.clip(10.0 - dist_l, 0.0, 1.0)
+                s = s * s * (3.0 - 2.0 * s)
+                strength = s / jnp.maximum(dist_l * dist_l, 1e-4)
+                lcol = hash33(jnp.full((3,), li * 3.21312, F32))
+                add = (unshadowed & near).astype(F32) * n_dot_l * strength
+                lit = lit + add[:, None] * lcol[None, :] * 0.3
         out_rgb = jnp.where(shaded[:, None], colour * lit, out_rgb)
 
         miss = active & ~res.hit
@@ -184,7 +217,8 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
-                 svt_density=None, mirror_materials: bool = False):
+                 svt_density=None, mirror_materials: bool = False,
+                 lights=None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. Returns (u8 image (H, W, 3),
     hdr rgba (rh, rw, 4))."""
@@ -193,7 +227,7 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
     skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
 
     rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
-                                    cfg, svt_density, mirror_materials)
+                                    cfg, svt_density, mirror_materials, lights)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         rgb = dbg_img.reshape(-1, 3)

@@ -82,7 +82,9 @@ class Renderer:
             self.scene.pyramid, o, d, jax.numpy.asarray(self.sun),
             jax.numpy.float32(t), self.cfg,
             svt_density=self.scene.density if self.cfg.ambient_occlusion else None,
-            mirror_materials=self.mirror_materials)
+            mirror_materials=self.mirror_materials,
+            lights=jax.numpy.asarray(self.scene.lights)
+            if self.cfg.point_lights else None)
         if timed:
             img = jax.block_until_ready(img)
             self.stats.push_timing((_time.monotonic() - t0) * 1e3)
@@ -92,6 +94,15 @@ class Renderer:
             log.info("Sample Count: %d, Avg: %.3fms, StdDev: %.4f",
                      res["samples"], res["avg_ms"], res["stddev"])
         return np.asarray(img)
+
+    def profile_frame(self, camera: Camera, trace_dir: str = "/tmp/vvr_trace"):
+        """Capture one frame under jax.profiler (the timestamp-query
+        analog on steroids; open with tensorboard/perfetto)."""
+        self.render(camera, timed=True)  # ensure compiled outside the trace
+        with jax.profiler.trace(trace_dir):
+            img = self.render(camera, timed=True)
+        log.info("profile written to %s", trace_dir)
+        return img
 
     def memory_report(self) -> dict:
         """Device-buffer size report (the J-key gpu-allocator report analog,
