@@ -164,6 +164,37 @@ def bloom_pyramid(rendered):
     return mips[2]
 
 
+def _upsample4_bilinear(img, out_h: int, out_w: int):
+    """Exact 4x bilinear upsample (texel centers), phase-interleaved via
+    pad/stack/reshape — jax.image.resize emits pathological scalar-loop index
+    ops on TPU (~12 ms per 1-D iota fusion, measured)."""
+    h, w = img.shape[0], img.shape[1]
+
+    def up_axis(a):
+        # output texel j maps to input coord (j + 0.5)/4 - 0.5; phases
+        # j%4 = 0..3 give weights (5/8,3/8) (7/8,1/8) (7/8,1/8 fwd) (5/8,3/8)
+        n0 = a.shape[0]
+        pa = jnp.pad(a, ((1, 1),) + ((0, 0),) * (a.ndim - 1), mode="edge")
+        prev = pa[:-2]   # a[k-1]
+        cur = pa[1:-1]   # a[k]
+        nxt = pa[2:]     # a[k+1]
+        ph0 = 0.375 * prev + 0.625 * cur
+        ph1 = 0.125 * prev + 0.875 * cur
+        ph2 = 0.875 * cur + 0.125 * nxt
+        ph3 = 0.625 * cur + 0.375 * nxt
+        out = jnp.stack([ph0, ph1, ph2, ph3], axis=1)
+        return out.reshape((4 * n0,) + a.shape[1:])
+
+    uy = up_axis(img)
+    ux = up_axis(uy.transpose(1, 0, 2)).transpose(1, 0, 2)
+    out = ux[:out_h, :out_w]
+    pad_y = max(0, out_h - out.shape[0])
+    pad_x = max(0, out_w - out.shape[1])
+    if pad_y or pad_x:
+        out = jnp.pad(out, ((0, pad_y), (0, pad_x), (0, 0)), mode="edge")
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bloom_strength",
                                              "bloom_enabled"))
 def composite(rendered, bloom_mip2, out_h: int, out_w: int,
@@ -172,7 +203,7 @@ def composite(rendered, bloom_mip2, out_h: int, out_w: int,
     rh, rw = rendered.shape[0], rendered.shape[1]
     colour = rendered[..., :3]
     if bloom_enabled:
-        bloom = jax.image.resize(bloom_mip2[..., :3], (rh, rw, 3), "bilinear")
+        bloom = _upsample4_bilinear(bloom_mip2[..., :3], rh, rw)
         colour = colour + bloom * bloom_strength
     ldr = jnp.power(aces(colour), 1.0 / 2.2)
     img = (jnp.clip(ldr, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -276,13 +276,14 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
 @functools.partial(jax.jit, static_argnames=("max_steps", "compact",
                                              "pack_first", "fetch_every",
                                              "phase1_groups", "pack_fraction",
-                                             "with_stats"))
+                                             "with_stats", "start_level"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
           pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
           phase1_groups: int = PHASE1_GROUPS,
           pack_fraction: int = PACK_FRACTION,
-          with_stats: bool = True) -> TraceResult:
+          with_stats: bool = True, start_level: int | None = None,
+          start_cell=None) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
     pack_first: if given (static), rays with active=True are front-packed
@@ -339,20 +340,36 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
 
     zero_i = jnp.zeros((n,), I32)
     zero_u = jnp.zeros((n,), U32)
-    top_child = F32(1.0 / (1 << (2 * (depth - 1))))
+    # start-node hint: when every active origin shares one node (primary
+    # camera rays), skip the common root descent — ~2 fetches per ray. The
+    # traversal is correct from ANY node containing the origins: empty nodes
+    # simply step + ascend out (dense addressing means every cell has a row).
+    s_lvl = depth if start_level is None else start_level
+    if start_cell is None:
+        ncx0 = ncy0 = ncz0 = zero_i
+        addr0 = jnp.full((n,), I32(pyr.bases[depth]))
+    else:
+        sc = start_cell.astype(I32)
+        ncx0 = jnp.broadcast_to(sc[0], (n,))
+        ncy0 = jnp.broadcast_to(sc[1], (n,))
+        ncz0 = jnp.broadcast_to(sc[2], (n,))
+        g0 = max(size >> (2 * s_lvl), 1)
+        addr0 = jnp.broadcast_to(
+            I32(pyr.bases[s_lvl]) + sc[0] + sc[1] * g0 + sc[2] * g0 * g0, (n,))
+    inv_child0 = F32(1.0 / (1 << (2 * (s_lvl - 1))))
     state = (
         act0,                                    # ACT
         jnp.zeros((n,), bool),                   # HIT
-        act0,                                    # PEND (root row fetch)
-        zero_i, zero_i, zero_i,                  # node (root cell 0)
-        jnp.full((n,), depth, I32),              # LVL
+        act0,                                    # PEND (start row fetch)
+        ncx0, ncy0, ncz0,                        # node
+        jnp.full((n,), s_lvl, I32),              # LVL
         zero_u, zero_u, zero_u, zero_u,          # masks
-        jnp.clip((ox * top_child).astype(I32), 0, 3),   # local
-        jnp.clip((oy * top_child).astype(I32), 0, 3),
-        jnp.clip((oz * top_child).astype(I32), 0, 3),
+        jnp.clip((ox * inv_child0).astype(I32) - ncx0 * 4, 0, 3),  # local
+        jnp.clip((oy * inv_child0).astype(I32) - ncy0 * 4, 0, 3),
+        jnp.clip((oz * inv_child0).astype(I32) - ncz0 * 4, 0, 3),
         jnp.zeros((n,), F32),                    # T
         zero_i,                                  # FACE
-        jnp.full((n,), I32(pyr.bases[depth])),   # ADDR (root row)
+        addr0,                                   # ADDR
         zero_i, zero_i,                          # ITER, FETCH
         jnp.ones((n,), I32),                     # HLVL
     )
@@ -465,9 +482,13 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
     # every level's safety net covers overflow exactly.
     with jax.named_scope(f"tr_phase1_w{n}"):
         state = _run_groups(fetch, alu, state, phase1_groups, fetch_every)
+    # capacities follow the measured survivor curve (terrain camera, v5e:
+    # ~49% active after 10 groups, 8.4% after 24, ~0.4% after 50) with
+    # margin; packing costs ~150 ns/lane so needless capacity is expensive,
+    # and the per-level overflow nets keep any distribution correct.
     seq = [
-        (max(n // 2, 2048), 0),
-        (max(n // pack_fraction, 2048), 6),
-        (max(n // (4 * pack_fraction), 2048), 10),
+        (max((n * 11) // 20, 2048), 0),
+        (max(n // 10, 2048), 14),
+        (max(n // 50, 2048), 26),
     ]
     return finish(state, ray_o, ray_d, ray, seq)

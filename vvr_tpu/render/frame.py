@@ -123,9 +123,12 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         shadow_start = world
         if cfg.pixelated_shadows:
             shadow_start = jnp.floor(world * 4.0) / 4.0
-        # shadow rays exist only for shaded lanes: front-pack them so misses
-        # (sky pixels) don't pay the traversal gathers (ops/traverse.py)
-        pack_cap = max((n * 3) // 4, 2048) if n >= 4096 else None
+        # shadow rays exist only for shaded lanes facing the sun — lighting()
+        # multiplies by max(n.l, 0), so n.l <= 0 lanes never need the trace
+        sun_facing = jnp.sum(normal * sun3[None, :], -1) > 0.0
+        shadow_active = shaded & sun_facing
+        # front-pack them so misses/backfaces don't pay the traversal gathers
+        pack_cap = max((n * 5) // 8, 2048) if n >= 4096 else None
         if cfg.shadow_samples > 1:
             shadow = jnp.zeros((n,), F32)
             for s in range(cfg.shadow_samples):
@@ -135,7 +138,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                     jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
                 s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                              active=shaded, pack_first=pack_cap,
+                              active=shadow_active, pack_first=pack_cap,
                               with_stats=False).hit
                 cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
                 shadow = shadow + jnp.where(
@@ -144,7 +147,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
             s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                          active=shaded, pack_first=pack_cap,
+                          active=shadow_active, pack_first=pack_cap,
                           with_stats=False).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])

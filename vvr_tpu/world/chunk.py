@@ -77,17 +77,29 @@ class Chunk:
         return self
 
 
+_B0_CACHE = None
+
+
+def _voxel_bounds_grid() -> np.ndarray:
+    """Per-voxel unit AABBs (cached module-wide; building it per chunk
+    dominated the 4096-chunk world build)."""
+    global _B0_CACHE
+    if _B0_CACHE is None:
+        m = CHUNK_SIZE
+        zz, yy, xx = np.meshgrid(np.arange(m), np.arange(m), np.arange(m),
+                                 indexing="ij")
+        _B0_CACHE = np.stack([xx, yy, zz, xx + 1, yy + 1, zz + 1],
+                             axis=-1).astype(np.int32)
+    return _B0_CACHE
+
+
 def build_chunk_mips(voxels: np.ndarray) -> ChunkMips:
     """Vectorized bottom-up mip build (reference chunk_to_sparse,
     chunk.rs:211-322): any/all over 4x4x4 groups + tight child-union AABBs."""
     voxels = np.asarray(voxels, bool)
     any_mips = [voxels]
     all_mips = [voxels]
-    # level-0 bounds: each set voxel is a unit box [v, v+1)
-    m = CHUNK_SIZE
-    zz, yy, xx = np.meshgrid(np.arange(m), np.arange(m), np.arange(m), indexing="ij")
-    b0 = np.stack([xx, yy, zz, xx + 1, yy + 1, zz + 1], axis=-1).astype(np.int32)
-    bounds = [b0]
+    bounds = [_voxel_bounds_grid()]
 
     for _ in range(1, CHUNK_MIPS):
         prev_any = any_mips[-1]
