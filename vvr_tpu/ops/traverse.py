@@ -264,9 +264,16 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
         return s
 
     if n_groups is not None:
-        def body(_, s):
-            return group(s)
-        return jax.lax.fori_loop(0, n_groups, body, state)
+        # bounded runs must still exit when no lane is active: overflow
+        # fallback traces otherwise burn full-width gather groups on zero
+        # work (a fori_loop here cost ~800 ms/frame of dead gathers)
+        def bcond(c):
+            return (c[0] < n_groups) & jnp.any(c[1][_ACT])
+
+        def bbody(c):
+            return c[0] + 1, group(c[1])
+
+        return jax.lax.while_loop(bcond, bbody, (0, state))[1]
 
     def cond(s):
         return jnp.any(s[_ACT])
@@ -305,7 +312,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
         overflow = active & ~packed_mark
         rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
-                     active=overflow, compact=False, pack_first=None,
+                     active=overflow, compact=True, pack_first=None,
                      fetch_every=fetch_every, with_stats=with_stats)
 
         def scat(a, b):

@@ -128,7 +128,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         sun_facing = jnp.sum(normal * sun3[None, :], -1) > 0.0
         shadow_active = shaded & sun_facing
         # front-pack them so misses/backfaces don't pay the traversal gathers
-        pack_cap = max((n * 5) // 8, 2048) if n >= 4096 else None
+        pack_cap = max((n * 3) // 4, 2048) if n >= 4096 else None
         if cfg.shadow_samples > 1:
             shadow = jnp.zeros((n,), F32)
             for s in range(cfg.shadow_samples):
