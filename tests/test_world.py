@@ -90,3 +90,31 @@ def test_full_implies_any(medium_world):
     for lvl in range(1, pyr.depth + 1):
         a, f = pyr.level_bits(lvl)
         assert not (f & ~a).any()
+
+
+def test_cache_roundtrip(tmp_path, small_world):
+    from vvr_tpu.world import cache as cm
+    cfg, chunks, occ = small_world
+    p = tmp_path / "w.npz"
+    cm.save_world(p, chunks, cfg.size)
+    loaded = cm.load_world(p)
+    assert len(loaded) == len(chunks)
+    for a, b in zip(loaded, chunks):
+        np.testing.assert_array_equal(a.voxels, b.voxels)
+        np.testing.assert_array_equal(a.position, b.position)
+        assert a.kind == b.kind
+
+
+def test_tree_checkpoint_roundtrip(tmp_path, small_world):
+    from vvr_tpu.world import cache as cm
+    from vvr_tpu.world.pyramid import build_pyramid
+    from vvr_tpu.world.tree import bounds_pyramid_from_dense, flatten_tree
+    _, _, occ = small_world
+    tree = flatten_tree(build_pyramid(occ), bounds_pyramid_from_dense(occ))
+    p = tmp_path / "t.npz"
+    cm.save_tree(p, tree)
+    t2 = cm.load_tree(p)
+    np.testing.assert_array_equal(t2.indices, tree.indices)
+    np.testing.assert_array_equal(t2.bitmasks, tree.bitmasks)
+    np.testing.assert_array_equal(t2.aabbs, tree.aabbs)
+    assert t2.level_starts == tree.level_starts

@@ -154,10 +154,19 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         else:
             shadow = jnp.ones((n,), F32)
 
-        lit = shade_ops.lighting(
-            world, albedo, normal, rough, metal,
-            jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
-            sun_colour_final)
+        if cfg.debug_type == 0:
+            # rasterization debug path analog (shaders/rasterized.slang:53-86):
+            # the reference draws the surface-nets meshes and ray-traces a
+            # binary sun shadow in the fragment shader; the visual output —
+            # geometry in flat black/white shadow over the sky background —
+            # is reproduced here from the same shadow rays.
+            lit = jnp.broadcast_to(
+                jnp.where(shadow > 0.5, 1.0, 0.0)[:, None], (n, 3))
+        else:
+            lit = shade_ops.lighting(
+                world, albedo, normal, rough, metal,
+                jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
+                sun_colour_final)
         # animated point lights (raytracer.slang:364-381 — the reference's
         # disabled loop, here behind cfg.point_lights): first 10 lights,
         # 10-unit radius, inverse-square falloff, shadow by distance compare

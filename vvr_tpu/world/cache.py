@@ -33,6 +33,30 @@ def save_world(path: pathlib.Path, chunks: list[Chunk], size: int) -> None:
              n_chunks=len(chunks), size=size)
 
 
+def save_tree(path: pathlib.Path, tree) -> None:
+    """Checkpoint the flattened SVO buffers (SURVEY.md §5: 'serialize the
+    flattened (indices, bitmasks, aabbs) arrays')."""
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path, indices=tree.indices, bitmasks=tree.bitmasks, aabbs=tree.aabbs,
+        depth=tree.depth,
+        level_keys=np.array(sorted(tree.level_starts), np.int64),
+        level_vals=np.array([tree.level_starts[k]
+                             for k in sorted(tree.level_starts)], np.int64))
+
+
+def load_tree(path: pathlib.Path):
+    from vvr_tpu.world.tree import SparseVoxelTree
+    path = pathlib.Path(path)
+    if not path.exists():
+        return None
+    with np.load(path) as z:
+        starts = {int(k): int(v) for k, v in zip(z["level_keys"], z["level_vals"])}
+        return SparseVoxelTree(z["indices"], z["bitmasks"], z["aabbs"],
+                               starts, int(z["depth"]), {})
+
+
 def load_world(path: pathlib.Path) -> list[Chunk] | None:
     path = pathlib.Path(path)
     if not path.exists():
