@@ -56,3 +56,21 @@ def test_base4_trailing_levels():
     v = np.array([0, 1, 4, 16, 64, 20, 256, 3], np.int32)
     got = bits.base4_trailing_levels(v, 4)
     np.testing.assert_array_equal(got, [4, 0, 1, 2, 3, 1, 4, 0])
+
+
+def test_hash_family_shapes_and_range():
+    from vvr_tpu.utils import hash as h
+    rng = np.random.default_rng(0)
+    p2 = jnp.asarray(rng.random((32, 2)), jnp.float32) * 100
+    p3 = jnp.asarray(rng.random((32, 3)), jnp.float32) * 100
+    p4 = jnp.asarray(rng.random((32, 4)), jnp.float32) * 100
+    p1 = jnp.asarray(rng.random(32), jnp.float32) * 100
+    outs = [(h.hash11(p1), ()), (h.hash12(p2), ()), (h.hash13(p3), ()),
+            (h.hash14(p4), ()), (h.hash21(p1), (2,)), (h.hash22(p2), (2,)),
+            (h.hash23(p3), (2,)), (h.hash31(p1), (3,)), (h.hash32(p2), (3,)),
+            (h.hash33(p3), (3,)), (h.hash41(p1), (4,))]
+    for out, tail in outs:
+        assert out.shape == (32,) + tail
+        a = np.asarray(out)
+        assert (a >= 0).all() and (a < 1).all()
+        assert a.std() > 0.1  # actually distributed

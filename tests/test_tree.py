@@ -98,3 +98,15 @@ def test_bitmask_matches_any_bits():
         if ad[z, y, x]:
             expect_root |= 1 << b
     assert int(tree.bitmasks[0]) == expect_root
+
+
+def test_sah_metric():
+    from vvr_tpu.world.tree import surface_area_bitmask
+    assert surface_area_bitmask(0) == 0
+    assert surface_area_bitmask(1) == 6                 # single voxel
+    assert surface_area_bitmask((1 << 64) - 1) == 96    # full 4^3: 16*6
+    occ = np.zeros((16, 16, 16), bool)
+    occ[0, 0, 0] = True
+    pyr = build_pyramid(occ)
+    tree = flatten_tree(pyr, bounds_pyramid_from_dense(occ), calculate_sah=True)
+    assert tree.metrics["sah_total"] > 0

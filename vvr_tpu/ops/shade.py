@@ -158,3 +158,30 @@ def ao_solver(is_solid_fn, block_pos, uv, face, dir_sign):
                         + (sel[2] + (sel[3] - sel[2]) * ub) * ua)
         total = total * interp
     return total
+
+
+def global_face(face, dir_sign):
+    """Axis face + ray sign -> global face id 0..5 (other.slang:66-76):
+    x:(neg->1,pos->0)... the reference maps positive sign to the odd id."""
+    fs = jnp.stack([dir_sign[..., 0], dir_sign[..., 1], dir_sign[..., 2]], -1)
+    s = jnp.where(face == 0, dir_sign[..., 0],
+                  jnp.where(face == 1, dir_sign[..., 1], dir_sign[..., 2]))
+    return face * 2 + jnp.where(s > 0, 1, 0)
+
+
+def flatten_uvs(face, uvs):
+    """Drop the face axis from a 3D in-block uv (other.slang:80-89)."""
+    u = jnp.where(face == 0, uvs[..., 1],
+                  jnp.where(face == 1, uvs[..., 0], uvs[..., 0]))
+    v = jnp.where(face == 2, uvs[..., 1], uvs[..., 2])
+    return jnp.stack([u, v], -1)
+
+
+def unflatten_uvs(face, negate, flat):
+    """Inverse of flatten_uvs with the face-axis coordinate set to 0 or 3
+    (other.slang:91-102)."""
+    val = jnp.where(negate, 3, 0)
+    x = jnp.where(face == 0, val, flat[..., 0])
+    y = jnp.where(face == 1, val, jnp.where(face == 0, flat[..., 0], flat[..., 1]))
+    z = jnp.where(face == 2, val, flat[..., 1])
+    return jnp.stack([x, y, z], -1)

@@ -73,3 +73,60 @@ def xorshift32(state):
     x ^= x >> np.uint32(7)
     x ^= np.uint32((int(x) << 17) & 0xFFFFFFFF)
     return x
+
+
+def hash14(p4):
+    """p4: (..., 4) -> (...)"""
+    p4 = _fract(p4 * jnp.array([0.1031, 0.1030, 0.0973, 0.1099], F32))
+    d = jnp.sum(p4 * (p4[..., [3, 2, 0, 1]] + F32(33.33)), -1, keepdims=True)
+    p4 = p4 + d
+    return _fract((p4[..., 0] + p4[..., 1]) * (p4[..., 2] + p4[..., 3]))
+
+
+def hash21(p):
+    """scalar (...) -> (..., 2)"""
+    p3 = _fract(jnp.stack([p, p, p], -1) * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [1, 2, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0]] + p3[..., [1, 2]]) * p3[..., [2, 1]])
+
+
+def hash23(p3):
+    """(..., 3) -> (..., 2)"""
+    p3 = _fract(p3 * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [2, 1, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0]] + p3[..., [1, 2]]) * p3[..., [2, 1]])
+
+
+def hash31(p):
+    """scalar (...) -> (..., 3)"""
+    p3 = _fract(jnp.stack([p, p, p], -1) * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [1, 2, 0]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0, 1]] + p3[..., [1, 2, 2]]) * p3[..., [2, 1, 0]])
+
+
+def hash32(p):
+    """(..., 2) -> (..., 3)"""
+    p3 = _fract(jnp.stack([p[..., 0], p[..., 1], p[..., 0]], -1)
+                * jnp.array([0.1031, 0.1030, 0.0973], F32))
+    d = jnp.sum(p3 * (p3[..., [1, 0, 2]] + F32(33.33)), -1, keepdims=True)
+    p3 = p3 + d
+    return _fract((p3[..., [0, 0, 1]] + p3[..., [1, 2, 2]]) * p3[..., [2, 1, 0]])
+
+
+def hash41(p):
+    """scalar (...) -> (..., 4)"""
+    p4 = _fract(jnp.stack([p, p, p, p], -1)
+                * jnp.array([0.1031, 0.1030, 0.0973, 0.1099], F32))
+    d = jnp.sum(p4 * (p4[..., [3, 2, 0, 1]] + F32(33.33)), -1, keepdims=True)
+    p4 = p4 + d
+    return _fract((p4[..., [0, 0, 1, 2]] + p4[..., [1, 2, 3, 3]])
+                  * p4[..., [2, 1, 0, 1]])
+
+
+def uint_hash(s):
+    """The Schechter-Bridson uint32 hash (shaders/hash.slang:7-16) for jnp."""
+    from vvr_tpu.ops.noise import _hash_u32
+    return _hash_u32(s)

@@ -127,8 +127,28 @@ def _pack_aabbs(bmin: np.ndarray, bmax: np.ndarray, size: int) -> np.ndarray:
     return lo | (hi << np.uint64(30))
 
 
-def flatten_tree(pyr: OccupancyPyramid, bounds: list[np.ndarray]) -> SparseVoxelTree:
-    """Level-order flatten. `bounds` from bounds_pyramid_from_dense/chunks."""
+def surface_area_bitmask(mask: int) -> int:
+    """Exposed-face count of the 4x4x4 bitmask (the reference's optional SAH
+    metric, src/voxel/sparse.rs:469,524-545)."""
+    area = 0
+    for b in range(64):
+        if not (mask >> b) & 1:
+            continue
+        x, y, z = b & 3, (b >> 2) & 3, (b >> 4) & 3
+        for dx, dy, dz in ((1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1)):
+            nx, ny, nz = x+dx, y+dy, z+dz
+            if not (0 <= nx < 4 and 0 <= ny < 4 and 0 <= nz < 4):
+                area += 1
+            elif not (mask >> (nx | (ny << 2) | (nz << 4))) & 1:
+                area += 1
+    return area
+
+
+def flatten_tree(pyr: OccupancyPyramid, bounds: list[np.ndarray],
+                 calculate_sah: bool = False) -> SparseVoxelTree:
+    """Level-order flatten. `bounds` from bounds_pyramid_from_dense/chunks.
+    calculate_sah: add the normalized surface-area metric to metrics (the
+    reference's CALCULATE_SAH, sparse.rs:466-476; off by default there too)."""
     t0 = time.monotonic()
     depth = pyr.depth
     size = pyr.size
@@ -208,6 +228,11 @@ def flatten_tree(pyr: OccupancyPyramid, bounds: list[np.ndarray]) -> SparseVoxel
         avg_bits_set=set_bits / max(total, 1),
         level_counts={lvl: level_count[lvl] for lvl in range(depth, 0, -1)},
     )
+    if calculate_sah:
+        area_4x4x4 = 4 * 4 * 6
+        sah = sum(surface_area_bitmask(int(m)) / area_4x4x4 for m in bitmasks)
+        metrics["sah_total"] = sah
+        metrics["sah_normalized_pct"] = 100.0 * sah / max(total, 1)
     return SparseVoxelTree(indices, bitmasks, aabbs, level_starts, depth, metrics)
 
 
