@@ -12,7 +12,10 @@ import os as _os
 
 # Persistent XLA compilation cache: TPU compiles of the traversal loops take
 # minutes through the remote-compile tunnel; cache them across processes.
-if _os.environ.get("VVR_NO_COMPILE_CACHE") != "1":
+# CPU-only runs skip it — XLA:CPU AOT artifacts are machine-feature-pinned
+# and can SIGILL when reloaded under a different feature set.
+if (_os.environ.get("VVR_NO_COMPILE_CACHE") != "1"
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
     import jax as _jax
 
     _cache_dir = _os.environ.get("VVR_COMPILE_CACHE",
