@@ -113,3 +113,27 @@ def test_app_loop_headless(frames, small_world):
                 frame_sink=lambda f, img: frames_out.append(img.shape))
     assert n == 3  # quit on frame 2 (processed after increment)
     assert all(s == (48, 64, 3) for s in frames_out)
+
+
+def test_renderer_benchmark_capture(small_world):
+    """The L-key capture benchmark end to end (statistics.rs:43-64 analog)."""
+    import numpy as np
+    from vvr_tpu.config import RenderConfig
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.render.scene import Scene
+    from vvr_tpu.world.pyramid import build_brick_pyramid
+
+    cfg_w, chunks, occ = small_world
+    scene = Scene(cfg_w, chunks, build_brick_pyramid(occ), None, None,
+                  np.zeros((100, 4), np.float32))
+    r = Renderer(cfg_w, RenderConfig(width=48, height=32, shadow_samples=0,
+                                     max_ray_iterations=1,
+                                     skybox_resolution=16,
+                                     clouds_resolution=16,
+                                     bloom_enabled=False), scene=scene)
+    cam = r.camera_for_snapshot(0)
+    res = r.benchmark(cam, duration_s=0.05, warmup=1)
+    assert res["samples"] >= 1
+    assert res["avg_ms"] > 0
+    assert res["mrays_per_s"] > 0
+    assert res["fps"] > 0
