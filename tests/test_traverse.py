@@ -126,3 +126,20 @@ def test_active_mask():
     act = jnp.asarray([True, False, True, False])
     res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d), active=act)
     assert np.asarray(res.hit).tolist() == [True, False, True, False]
+
+
+def test_any_only_rows_match_oracle(small_world):
+    """use_full=False (8-byte any-only rows) must give identical results —
+    the full-mask is purely a traversal early-out."""
+    _, _, occ = small_world
+    rng = np.random.default_rng(12)
+    o, d = random_rays(rng, 2000, occ.shape[0])
+    pyr = build_pyramid(occ)
+    a = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096)
+    b = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,
+              use_full=False)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    hit = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(a.face)[hit], np.asarray(b.face)[hit])
+    np.testing.assert_array_equal(np.asarray(a.axis_coord)[hit],
+                                  np.asarray(b.axis_coord)[hit])

@@ -107,12 +107,15 @@ def _bit64(lo, hi, bit):
  _LX, _LY, _LZ, _T, _FACE, _ADDR, _ITER, _FETCH, _HLVL) = range(20)
 
 
-def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool):
+def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
+                  use_full: bool = True):
     """Returns (fetch_fn, alu_fn) closed over static pyramid metadata and
-    the per-ray constants (origin, direction and derived)."""
+    the per-ray constants (origin, direction and derived). use_full=False
+    fetches 8-byte any-only rows (faster gather; rays descend through full
+    regions instead of early-outing — identical hit results)."""
     depth = pyr.depth
     size = pyr.size
-    rows = pyr.rows
+    rows = pyr.rows if use_full else pyr.rows_any
     (ox, oy, oz, dx, dy, dz, ix_, iy_, iz_, sx, sy, sz, px_, py_, pz_) = ray
 
     # static per-level constants; level l node has children at level l-1
@@ -128,13 +131,14 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool):
 
     def fetch(s):
         addr = jnp.where(s[_PEND] & s[_ACT], s[_ADDR], 0)
-        r = jnp.take(rows, addr, axis=0, mode="clip")  # (N, 4)
+        r = jnp.take(rows, addr, axis=0, mode="clip")  # (N, 4) or (N, 2)
         did = s[_PEND] & s[_ACT]
         s = list(s)
         s[_ALO] = jnp.where(did, r[:, 0], s[_ALO])
         s[_AHI] = jnp.where(did, r[:, 1], s[_AHI])
-        s[_FLO] = jnp.where(did, r[:, 2], s[_FLO])
-        s[_FHI] = jnp.where(did, r[:, 3], s[_FHI])
+        if use_full:
+            s[_FLO] = jnp.where(did, r[:, 2], s[_FLO])
+            s[_FHI] = jnp.where(did, r[:, 3], s[_FHI])
         s[_PEND] = s[_PEND] & ~did
         if count_stats:
             s[_FETCH] = s[_FETCH] + did.astype(I32)
@@ -150,10 +154,12 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool):
 
         bit = (lx | (ly << 2) | (lz << 4)).astype(I32)
         abit = _bit64(s[_ALO], s[_AHI], bit)
-        fbit = _bit64(s[_FLO], s[_FHI], bit)
         leaf = lvl == 1
-
-        hit_now = live & abit & (leaf | fbit)
+        if use_full:
+            fbit = _bit64(s[_FLO], s[_FHI], bit)
+            hit_now = live & abit & (leaf | fbit)
+        else:
+            hit_now = live & abit & leaf
         desc = live & abit & ~hit_now
         stepping = live & ~abit
 
@@ -283,14 +289,15 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
 @functools.partial(jax.jit, static_argnames=("max_steps", "compact",
                                              "pack_first", "fetch_every",
                                              "phase1_groups", "pack_fraction",
-                                             "with_stats", "start_level"))
+                                             "with_stats", "start_level",
+                                             "use_full"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
           pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
           phase1_groups: int = PHASE1_GROUPS,
           pack_fraction: int = PACK_FRACTION,
           with_stats: bool = True, start_level: int | None = None,
-          start_cell=None) -> TraceResult:
+          start_cell=None, use_full: bool = True) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
     pack_first: if given (static), rays with active=True are front-packed
@@ -306,14 +313,16 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         sub = trace(pyr, ray_o[p_safe], ray_d[p_safe], max_steps=max_steps,
                     active=p_valid, compact=compact, pack_first=None,
                     fetch_every=fetch_every, phase1_groups=phase1_groups,
-                    pack_fraction=pack_fraction, with_stats=with_stats)
+                    pack_fraction=pack_fraction, with_stats=with_stats,
+                    use_full=use_full)
         # overflow lanes (beyond capacity) traced at full width; zero work
         # when everything fit
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
         overflow = active & ~packed_mark
         rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
                      active=overflow, compact=True, pack_first=None,
-                     fetch_every=fetch_every, with_stats=with_stats)
+                     fetch_every=fetch_every, with_stats=with_stats,
+                     use_full=use_full)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),
@@ -381,7 +390,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         jnp.ones((n,), I32),                     # HLVL
     )
 
-    fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats)
+    fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats, use_full)
 
     def outputs(st, rr, oo):
         oxx, oyy, ozz = oo
@@ -427,7 +436,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
 
     def finish(st, ro, rd, rr, rounds):
         """Run the remaining cascade on (state, rays); returns TraceResult."""
-        f_fn, a_fn = _make_stepper(pyr, rr, max_steps, with_stats)
+        f_fn, a_fn = _make_stepper(pyr, rr, max_steps, with_stats, use_full)
         o3 = (rr[0], rr[1], rr[2])
         m0 = ro.shape[0]
         if not rounds:

@@ -72,7 +72,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES)
     for bounce in range(cfg.max_ray_iterations):
         res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active,
-                    with_stats=need_stats)
+                    with_stats=need_stats, use_full=False)
         hit = res.hit & active
         sgn = jnp.where(d >= 0, 1.0, -1.0)
         normal = shade_ops.get_face_normal(res.face, sgn)
@@ -139,7 +139,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
                 s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
                               active=shadow_active, pack_first=pack_cap,
-                              with_stats=False).hit
+                              with_stats=False, use_full=False).hit
                 cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
                 shadow = shadow + jnp.where(
                     s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
@@ -148,7 +148,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             sdir = jnp.broadcast_to(sun3, (n, 3))
             s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
                           active=shadow_active, pack_first=pack_cap,
-                          with_stats=False).hit
+                          with_stats=False, use_full=False).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:

@@ -164,21 +164,24 @@ class BrickPyramid:
     v5e: a 16B row costs ~1.2x a 4B element).
     """
 
-    def __init__(self, rows, depth: int, bases: tuple):
+    def __init__(self, rows, depth: int, bases: tuple, rows_any=None):
         self.rows = rows          # (R, 4) uint32
         self.depth = int(depth)
         self.bases = tuple(int(b) for b in bases)  # row offset per level 1..D
+        # any-masks only, (R, 2): an 8-byte row gathers ~18% faster than 16B
+        # and the full-mask is purely an early-out (identical hit semantics)
+        self.rows_any = rows[:, :2] if rows_any is None else rows_any
 
     @property
     def size(self) -> int:
         return 1 << (2 * self.depth)
 
     def tree_flatten(self):
-        return (self.rows,), (self.depth, self.bases)
+        return (self.rows, self.rows_any), (self.depth, self.bases)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1])
+        return cls(children[0], aux[0], aux[1], rows_any=children[1])
 
 
 def _pack_node_masks(bits: np.ndarray) -> np.ndarray:
