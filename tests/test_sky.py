@@ -86,3 +86,18 @@ def test_miss_shader_blends():
     pos = jnp.zeros((100, 3), jnp.float32)
     c = np.asarray(sky.sample_skybox_and_clouds(box, tex, pos, d))
     assert np.all(np.isfinite(c))
+
+
+def test_environment_approximations():
+    d_up = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    d_dn = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    sky_c = jnp.asarray([0.2, 0.4, 0.9], jnp.float32)
+    gnd_c = jnp.asarray([0.1, 0.08, 0.05], jnp.float32)
+    up = np.asarray(sky.environment_diffuse(d_up, sky_c, gnd_c))
+    dn = np.asarray(sky.environment_diffuse(d_dn, sky_c, gnd_c))
+    np.testing.assert_allclose(up[0], np.asarray(sky_c), atol=1e-6)
+    np.testing.assert_allclose(dn[0], np.asarray(gnd_c), atol=1e-6)
+    r = jnp.asarray([0.5], jnp.float32)
+    spec = np.asarray(sky.environment_specular(d_up, r, sky_c, gnd_c))
+    assert np.isfinite(spec).all()
+    assert (spec >= 0).all()
