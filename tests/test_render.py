@@ -67,11 +67,41 @@ def test_soft_shadows_run(pyr):
 
 
 def test_debug_modes_render(pyr):
+    # reference DebugType numbering: 1=iterations 2=fetches 3=normals
+    # 4=world 5=exit-type (raytracer.slang:46-53)
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
-    for dt in (2, 3, 4, 5):
+    imgs = {}
+    for dt in (1, 2, 3, 4, 5):
         cfg = RenderConfig(**{**SMALL_CFG.__dict__, "debug_type": dt})
         img, _ = _render(pyr, cam, cfg)
         assert img.std() > 0, f"debug mode {dt} produced a constant image"
+        imgs[dt] = img
+    # iterations and buffer-fetches are DIFFERENT counters (a fetch happens
+    # only on descend/node-exit; a sub-step always counts) -> distinct views
+    assert (imgs[1] != imgs[2]).any(), "iterations == fetches heatmap"
+    assert (imgs[5] != imgs[1]).any(), "exit-type == iterations heatmap"
+
+
+def test_raster_debug_path(pyr, small_world):
+    """debug_type == 0: real mesh rasterization (render/raster.py), not the
+    raytracer (renderer.rs:694-771 + rasterized.slang)."""
+    from vvr_tpu.render.raster import raster_debug_frame
+    from vvr_tpu.world.mesher import VoxelMeshBuffers
+    _, chunks, _ = small_world
+    mesh = VoxelMeshBuffers.build(chunks)
+    assert len(mesh.vertices) > 0
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    cfg = RenderConfig(**{**SMALL_CFG.__dict__, "debug_type": 0})
+    sun = np.array([-0.28, 0.65, -0.71, 0.0], np.float32)
+    sun[:3] /= np.linalg.norm(sun[:3])
+    img = np.asarray(raster_debug_frame(mesh, pyr, cam, sun, 0.0, cfg))
+    assert img.shape == (64, 96, 3)
+    # geometry covers part of the frame in flat black/white; sky elsewhere
+    gray = (img[..., 0] == img[..., 1]) & (img[..., 1] == img[..., 2])
+    assert 0.05 < gray.mean() < 1.0, "no rasterized geometry visible"
+    # and it is NOT the raytraced main view
+    main_img, _ = _render(pyr, cam)
+    assert (np.abs(img.astype(int) - main_img.astype(int)) > 8).mean() > 0.05
 
 
 def test_mirror_materials_bounce(pyr):
@@ -117,14 +147,18 @@ def _golden_views(pyr):
 
 
 def test_golden_images(pyr):
+    import os
+    regen = os.environ.get("VVR_REGEN_GOLDEN") == "1"
     GOLDEN_DIR.mkdir(exist_ok=True)
-    regen = not (GOLDEN_DIR / "terrain.npy").exists()
     for name, cam in _golden_views(pyr).items():
         img, _ = _render(pyr, cam)
         path = GOLDEN_DIR / f"{name}.npy"
         if regen:
             np.save(path, img)
             continue
+        # a missing golden is a hard failure (never silently re-baseline;
+        # regenerate explicitly with VVR_REGEN_GOLDEN=1)
+        assert path.exists(), f"golden {path} missing"
         golden = np.load(path)
         # u8 output must match almost exactly on the same backend; allow a
         # few LSBs for cross-platform float differences
@@ -134,8 +168,5 @@ def test_golden_images(pyr):
 
 
 if __name__ == "__main__":
-    import sys
-    if "--regen" in sys.argv:
-        import shutil
-        shutil.rmtree(GOLDEN_DIR, ignore_errors=True)
-        print("goldens cleared; run pytest to regenerate")
+    print("regenerate goldens with: VVR_REGEN_GOLDEN=1 pytest "
+          "tests/test_render.py::test_golden_images")

@@ -143,3 +143,60 @@ def test_any_only_rows_match_oracle(small_world):
     np.testing.assert_array_equal(np.asarray(a.face)[hit], np.asarray(b.face)[hit])
     np.testing.assert_array_equal(np.asarray(a.axis_coord)[hit],
                                   np.asarray(b.axis_coord)[hit])
+
+
+# ---------------------------------------------------------------------------
+# Flagship-scale correctness (VERDICT r1 #5): the benchmark-shaped scene
+# ---------------------------------------------------------------------------
+
+def test_bench_scene_256_matches_oracle(medium_world):
+    """Oracle-vs-kernel on the 256^3 terrain the benchmark renders, a few
+    thousand rays, BOTH table modes (per-node full-mask path and the grouped
+    any-only flagship path)."""
+    _, _, occ = medium_world
+    rng = np.random.default_rng(11)
+    pyr = build_pyramid(occ)
+    # mix of camera-like rays (from the bench camera region) and random rays
+    o1 = rng.uniform([100, 80, 10], [160, 120, 40], (2048, 3))
+    t1 = rng.uniform([0, 0, 100], [256, 80, 256], (2048, 3))
+    d1 = t1 - o1
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    o2, d2 = random_rays(rng, 2048, 256)
+    o = np.concatenate([o1, o2]).astype(np.float32)
+    d = np.concatenate([d1, d2]).astype(np.float32)
+    ref = trace_dense(occ, o, d)
+    assert ref["hit"].any() and not ref["hit"].all()
+    for use_full in (True, False):
+        res = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,
+                    use_full=use_full)
+        hit = np.asarray(res.hit)
+        np.testing.assert_array_equal(hit, ref["hit"])
+        np.testing.assert_array_equal(np.asarray(res.face)[hit],
+                                      ref["face"][hit])
+        np.testing.assert_array_equal(np.asarray(res.axis_coord)[hit],
+                                      ref["axis_coord"][hit])
+
+
+def test_world_1024_build_and_trace_smoke():
+    """1024^3 world (the reference's flagship scale): chunked build + a
+    handful of oracle-checked rays."""
+    from vvr_tpu.config import WorldConfig
+    from vvr_tpu.world.generator import assemble_dense, generate_world
+    cfg = WorldConfig(depth=5)
+    chunks = generate_world(cfg)
+    occ = assemble_dense(chunks, cfg.size)
+    pyr = build_pyramid(occ)
+    assert pyr.size == 1024
+    rng = np.random.default_rng(5)
+    o = rng.uniform([200, 150, 200], [800, 400, 800], (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+    ref = trace_dense(occ, o, d)
+    assert ref["hit"].any()
+    res = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=8192,
+                use_full=False)
+    hit = np.asarray(res.hit)
+    np.testing.assert_array_equal(hit, ref["hit"])
+    np.testing.assert_array_equal(np.asarray(res.axis_coord)[hit],
+                                  ref["axis_coord"][hit])

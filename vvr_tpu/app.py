@@ -35,7 +35,7 @@ DEFAULT_BINDINGS = {
     "p": "print_timings", "l": "benchmark", "h": "debug_next",
     "g": "debug_prev", "j": "memory_report", "q": "quit",
     "u": "print_snapshot", "i": "toggle_fixed", "o": "cycle_snapshot",
-    "f5": "fullscreen",
+    "f5": "fullscreen", "mouse_middle": "set_sun",
 }
 
 
@@ -75,6 +75,12 @@ class App:
         if inp.get_button("memory_report").pressed():
             log.info("device buffers: %s", r.memory_report())
         self.movement.update(inp, delta)
+        # middle-mouse (held): sun follows the camera forward direction
+        # (renderer.rs:455-457)
+        if inp.get_button("set_sun").held():
+            f = self.movement.forward().astype(np.float32)
+            f = f / max(np.linalg.norm(f), 1e-6)
+            r.sun = np.concatenate([f, [0.0]]).astype(np.float32)
 
     def run(self, max_frames: int = 60, script=None, frame_sink=None):
         """Drive the loop. `script`: optional callable(frame, input) injecting

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reflection bounce cap (1-8)")
     p.add_argument("--round-normals", action="store_true")
     p.add_argument("--ambient-occlusion", action="store_true")
+    p.add_argument("--ao-mode", choices=("filtered", "overlap"),
+                   default="filtered",
+                   help="AO estimator: filtered SVT sample (reference live "
+                        "path) or planar overlap query (reference library)")
     p.add_argument("--wavy-reflections", action="store_true")
     p.add_argument("--pixelated-shadows", action="store_true")
     p.add_argument("--fullscreen", action="store_true",
@@ -58,7 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the 2s capture benchmark (reference L key)")
     p.add_argument("--benchmark-seconds", type=float, default=2.0)
     p.add_argument("--debug-type", type=int, default=6,
-                   help="1=combined 2=iterations 3=fetches 4=normals 5=world")
+                   help="0=raster 1=iterations 2=fetches 3=normals 4=world "
+                        "5=exit-type 6=main (reference DebugType enum)")
     p.add_argument("--mirror-materials", action="store_true",
                    help="enable the hash-driven mirror-block material rule")
     p.add_argument("--point-lights", action="store_true",
@@ -86,6 +91,7 @@ def main(argv=None) -> int:
         max_ray_iterations=args.max_ray_iterations,
         round_normals=args.round_normals,
         ambient_occlusion=args.ambient_occlusion,
+        ao_mode=args.ao_mode,
         wavy_reflections=args.wavy_reflections,
         pixelated_shadows=args.pixelated_shadows,
         enable_debug_stuff=args.enable_debug_stuff,
@@ -136,6 +142,7 @@ def main(argv=None) -> int:
           f"{r.stats.average_ms():.2f} ms")
 
     if args.output:
+        img = np.asarray(img)  # frames stay on device until explicit fetch
         try:
             from PIL import Image
             Image.fromarray(img).save(args.output)

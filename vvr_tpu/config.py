@@ -52,12 +52,23 @@ class RenderConfig:
     max_ray_iterations: int = 3     # bounce loop cap (1-8)
     round_normals: bool = False     # kept for parity; no-op in reference too
     ambient_occlusion: bool = False
+    ao_mode: str = "filtered"       # "filtered": SVT trilinear sample along
+                                    # the normal (raytracer.slang:274-277,
+                                    # the reference's live path); "overlap":
+                                    # planar overlap-query estimator
+                                    # (ops/overlap.py; the reference's
+                                    # library AO, ray_stuff_other.slang:
+                                    # 450-520 + raytracer.slang:283-297)
     wavy_reflections: bool = False
     pixelated_shadows: bool = False
     enable_debug_stuff: bool = False
     point_lights: bool = False      # the reference's (disabled) 10-light loop
-    debug_type: int = 6             # 0=raster dbg,1=combined,2=iters,3=fetches,
-                                    # 4=normals,5=world,6=combined (main path)
+    debug_type: int = 6             # reference DebugType enum numbering
+                                    # (raytracer.slang:46-53): 0=raster dbg
+                                    # ("Combined" dispatches the raster path,
+                                    # renderer.rs:694), 1=iterations,
+                                    # 2=buffer fetches, 3=normals, 4=world,
+                                    # 5=exit type; 6=main raytraced frame
     # TPU knobs (no reference analog; group_size_exp becomes the ray tile)
     ray_tile: int = 4096            # rays per traversal batch lane-block
     traversal_max_steps: int = 256  # static HDDA iteration cap
@@ -78,10 +89,14 @@ class RenderConfig:
         return self.height // self.downscale_factor
 
 
-# Debug render modes, mirroring shaders/raytracer.slang:46-53.
-DEBUG_COMBINED = 1
-DEBUG_ITERATIONS = 2
-DEBUG_BUFFER_FETCHES = 3
-DEBUG_NORMALS = 4
-DEBUG_WORLD = 5
-DEBUG_EXIT_TYPE = 0  # raster debug path in the reference
+# Debug render modes — the reference DebugType enum values
+# (shaders/raytracer.slang:46-53). Mode 0 ("Combined") dispatches the
+# rasterization debug path (src/renderer.rs:694-771); 6 is the normal
+# raytraced frame (a non-DEBUG build in the reference).
+DEBUG_RASTER = 0
+DEBUG_ITERATIONS = 1
+DEBUG_BUFFER_FETCHES = 2
+DEBUG_NORMALS = 3
+DEBUG_WORLD = 4
+DEBUG_EXIT_TYPE = 5
+DEBUG_MAIN = 6

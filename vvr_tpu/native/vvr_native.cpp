@@ -10,7 +10,9 @@
 //                     (shaders/ray_stuff_other.slang:424-437).
 //   * pack_bricks   — brick-pyramid node-mask packing (world/pyramid.py
 //                     _pack_node_masks) for fast world (re)builds.
-//   * mesh_chunk    — surface-nets style mesher for the raster debug path
+//   * mesh_chunk    — blocky per-exposed-face cube mesher (OBJ export; the
+//                     reference's surface-nets mesher lives in
+//                     world/mesher.py::mesh_chunk_surface_nets)
 //                     (reference src/voxel/meshes.rs:87-161): one vertex per
 //                     sign-change cell at center+0.5, quads across set/unset
 //                     face transitions.

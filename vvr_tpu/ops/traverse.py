@@ -6,7 +6,7 @@ mask-predicated wavefront over a ray batch, walking the dense brick pyramid
 (world/pyramid.py BrickPyramid). Like the reference, a "node" holds the u64
 any-mask of its 4x4x4 children and the in-node walk is a <=12-step 3D DDA
 (slang :188-305); unlike the reference, nodes are addressed *arithmetically*
-from (cell, level), a node also carries its children's u64 full-mask (the
+from (cell, level), a node may also carry its children's u64 full-mask (the
 FULL_NODE early-out, slang :229-243, as a bit instead of a pointer sentinel),
 and recursion becomes integer descend/ascend:
 
@@ -17,22 +17,25 @@ and recursion becomes integer descend/ascend:
                                         boundary was crossed (base-4
                                         alignment) and fetch that node
 
-TPU cost model (measured, v5e): a random row gather costs ~10-12 ns/ray
-regardless of row width up to 16 B, while a vector ALU step over 1M rays
-costs ~0.1-0.3 ms. The kernel is therefore organized to MINIMIZE GATHER
-ISSUES, not steps:
+TPU cost model (measured, v5e — tools/microbench_gather.py): a random row
+gather costs ~4.9 ns/lane from a <=32K-row table REGARDLESS of row width up
+to 64 B, rising to ~6-13 ns for a 266K-row table; a vector ALU sub-step over
+2M lanes costs ~1.4-5 ns/lane. The kernel is therefore organized to MINIMIZE
+GATHER ISSUES and to fetch WIDE from SMALL tables:
 
-  * one 16-byte row fetch yields a node's full 64-child any+full masks,
-    held in registers across the in-node DDA (the reference fetches
-    bitmask/index/aabb separately per node, slang :126-225);
+  * grouped mode (the flagship path): one 64-byte row fetch yields the
+    any-masks of a 2x2x2 *group* of sibling nodes (an 8^3-voxel superbrick
+    at level 1), held in registers; node transitions that stay inside the
+    cached group — the common case for surface-skimming rays — are a
+    register 8-way select, not a fetch;
   * the loop body is a group of FETCH_EVERY sub-steps, only the first of
-    which contains the gather — lanes that need a node row (descend/exit)
-    latch a `pending` flag and stall in ALU sub-steps until the next fetch;
+    which contains the gather — lanes that need an uncached row latch a
+    `pending` flag and stall in ALU sub-steps until the next fetch;
   * after PHASE1_GROUPS groups, surviving rays (stragglers skimming the
     surface) are front-packed by a stable argsort and finished in a batch
-    1/4 the size, so the whole-batch while_loop is not held hostage by the
-    worst ray; a final full-batch loop guarantees correctness if the packed
-    capacity ever overflows.
+    a fraction of the size, so the whole-batch while_loop is not held
+    hostage by the worst ray; a final full-batch loop guarantees
+    correctness if the packed capacity ever overflows.
 
 Hit contract matches the reference (DdaTraversalOutput,
 ray_stuff_other.slang:99-106): (hit, face, axis_coord, t) where `axis_coord`
@@ -72,10 +75,13 @@ class TraceResult:
     t: jnp.ndarray           # f32 (N,) conservative entry distance
     iterations: jnp.ndarray  # int32 (N,) DDA sub-steps (debug heatmap parity)
     fetches: jnp.ndarray     # int32 (N,) node rows fetched (buffer_fetches)
+    missed_pops: jnp.ndarray  # int32 (N,) nodes entered-but-missed (the
+                              # reference ExitType counter, slang :251 — here
+                              # counted as popped levels per node exit)
 
     def tree_flatten(self):
         return (self.hit, self.face, self.axis_coord, self.t,
-                self.iterations, self.fetches), None
+                self.iterations, self.fetches, self.missed_pops), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -102,61 +108,96 @@ def _bit64(lo, hi, bit):
     return ((word >> sh) & U32(1)) == 1
 
 
-# state tuple indices
-(_ACT, _HIT, _PEND, _NX, _NY, _NZ, _LVL, _ALO, _AHI, _FLO, _FHI,
- _LX, _LY, _LZ, _T, _FACE, _ADDR, _ITER, _FETCH, _HLVL) = range(20)
+def _sel8(r, sub, off):
+    """r[:, 2*sub + off] via a select tree (r: (N, 16) u32, sub in 0..7)."""
+    # level 1: pick by bit0 of sub -> 4 candidates; then bit1; then bit2
+    c = [jnp.where((sub & 1) == 0, r[:, 4 * k + off], r[:, 4 * k + 2 + off])
+         for k in range(4)]
+    d0 = jnp.where((sub & 2) == 0, c[0], c[1])
+    d1 = jnp.where((sub & 2) == 0, c[2], c[3])
+    return jnp.where((sub & 4) == 0, d0, d1)
 
 
-def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
-                  use_full: bool = True):
-    """Returns (fetch_fn, alu_fn) closed over static pyramid metadata and
-    the per-ray constants (origin, direction and derived). use_full=False
-    fetches 8-byte any-only rows (faster gather; rays descend through full
-    regions instead of early-outing — identical hit results)."""
+def _addr_fns(pyr: BrickPyramid):
+    """(node_addr, group_addr) closures over static pyramid metadata."""
     depth = pyr.depth
     size = pyr.size
-    rows = pyr.rows if use_full else pyr.rows_any
-    (ox, oy, oz, dx, dy, dz, ix_, iy_, iz_, sx, sy, sz, px_, py_, pz_) = ray
-
-    # static per-level constants; level l node has children at level l-1
-    bases = [I32(b) for b in pyr.bases] + [I32(0)]  # pad for safe indexing
-    child_sz = [F32(1 << (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
-    inv_grand = [F32(1.0 / (1 << (2 * max(lv - 2, 0)))) for lv in range(depth + 1)]
-    grid_child = [I32(size >> (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
+    bases = [I32(b) for b in pyr.bases] + [I32(0)]
     ngrid = [I32(max(size >> (2 * lv), 1)) for lv in range(depth + 1)]
 
     def node_addr(lvl, cx, cy, cz):
         g = _sel_level(lvl, ngrid)
         return _sel_level(lvl, bases) + cx + cy * g + cz * g * g
 
+    if pyr.gbases is None:
+        return node_addr, None
+    gbases = [I32(b) for b in pyr.gbases] + [I32(0)]
+    ggrid = [I32(max((max(size >> (2 * lv), 1) + 1) // 2, 1))
+             for lv in range(depth + 1)]
+
+    def group_addr(lvl, cx, cy, cz):
+        g = _sel_level(lvl, ggrid)
+        return (_sel_level(lvl, gbases) + (cx >> 1) + (cy >> 1) * g
+                + (cz >> 1) * g * g)
+
+    return node_addr, group_addr
+
+
+def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
+                  use_full: bool = True):
+    """Returns (fetch_fn, alu_fn) over dict state, closed over static pyramid
+    metadata and the per-ray constants. use_full=True walks the per-node
+    (any, full) table with the FULL_NODE early-out; use_full=False walks the
+    grouped any-only table (faster; rays descend through full regions —
+    identical hit results)."""
+    depth = pyr.depth
+    size = pyr.size
+    grouped = (not use_full) and pyr.rows_grp is not None
+    rows = pyr.rows_grp if grouped else (pyr.rows if use_full else pyr.rows_any)
+    (ox, oy, oz, dx, dy, dz, ix_, iy_, iz_, sx, sy, sz, px_, py_, pz_) = ray
+
+    node_addr, group_addr = _addr_fns(pyr)
+    # static per-level constants; level l node has children at level l-1
+    child_sz = [F32(1 << (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
+    inv_grand = [F32(1.0 / (1 << (2 * max(lv - 2, 0)))) for lv in range(depth + 1)]
+    grid_child = [I32(size >> (2 * max(lv - 1, 0))) for lv in range(depth + 1)]
+
     def fetch(s):
-        addr = jnp.where(s[_PEND] & s[_ACT], s[_ADDR], 0)
-        r = jnp.take(rows, addr, axis=0, mode="clip")  # (N, 4) or (N, 2)
-        did = s[_PEND] & s[_ACT]
-        s = list(s)
-        s[_ALO] = jnp.where(did, r[:, 0], s[_ALO])
-        s[_AHI] = jnp.where(did, r[:, 1], s[_AHI])
-        if use_full:
-            s[_FLO] = jnp.where(did, r[:, 2], s[_FLO])
-            s[_FHI] = jnp.where(did, r[:, 3], s[_FHI])
-        s[_PEND] = s[_PEND] & ~did
+        did = s["pend"] & s["act"]
+        addr = jnp.where(did, s["addr"], 0)
+        r = jnp.take(rows, addr, axis=0, mode="clip")
+        s = dict(s)
+        if grouped:
+            sub = ((s["nx"] & 1) | ((s["ny"] & 1) << 1)
+                   | ((s["nz"] & 1) << 2))
+            s["alo"] = jnp.where(did, _sel8(r, sub, 0), s["alo"])
+            s["ahi"] = jnp.where(did, _sel8(r, sub, 1), s["ahi"])
+            s["grp"] = jnp.where(did[:, None], r, s["grp"])
+            s["gaddr"] = jnp.where(did, s["addr"], s["gaddr"])
+        else:
+            s["alo"] = jnp.where(did, r[:, 0], s["alo"])
+            s["ahi"] = jnp.where(did, r[:, 1], s["ahi"])
+            if use_full:
+                s["flo"] = jnp.where(did, r[:, 2], s["flo"])
+                s["fhi"] = jnp.where(did, r[:, 3], s["fhi"])
+        s["pend"] = s["pend"] & ~did
         if count_stats:
-            s[_FETCH] = s[_FETCH] + did.astype(I32)
-        return tuple(s)
+            s["fe"] = s["fe"] + did.astype(I32)
+        return s
 
     def alu(s):
-        act, pend = s[_ACT], s[_PEND]
+        act, pend = s["act"], s["pend"]
         live = act & ~pend
-        lvl = s[_LVL]
-        nx, ny, nz = s[_NX], s[_NY], s[_NZ]
-        lx, ly, lz = s[_LX], s[_LY], s[_LZ]
-        t = s[_T]
+        lvl = s["lvl"]
+        nx, ny, nz = s["nx"], s["ny"], s["nz"]
+        lx, ly, lz = s["lx"], s["ly"], s["lz"]
+        t = s["t"]
 
         bit = (lx | (ly << 2) | (lz << 4)).astype(I32)
-        abit = _bit64(s[_ALO], s[_AHI], bit)
+        abit = _bit64(s["alo"], s["ahi"], bit)
         leaf = lvl == 1
         if use_full:
-            fbit = _bit64(s[_FLO], s[_FHI], bit)
+            fbit = _bit64(s["flo"], s["fhi"], bit)
             hit_now = live & abit & (leaf | fbit)
         else:
             hit_now = live & abit & leaf
@@ -167,11 +208,11 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
         dnx = nx * 4 + lx
         dny = ny * 4 + ly
         dnz = nz * 4 + lz
+        dlvl = jnp.maximum(lvl - 1, 1)
         inv_g = _sel_level(lvl, inv_grand)  # grandchild cell size reciprocal
         dlx = jnp.clip(((ox + dx * t) * inv_g).astype(I32) - dnx * 4, 0, 3)
         dly = jnp.clip(((oy + dy * t) * inv_g).astype(I32) - dny * 4, 0, 3)
         dlz = jnp.clip(((oz + dz * t) * inv_g).astype(I32) - dnz * 4, 0, 3)
-        daddr = node_addr(jnp.maximum(lvl - 1, 1), dnx, dny, dnz)
 
         # ---- step: exit t of the current child cell (z > y > x tie rule)
         cs = _sel_level(lvl, child_sz)
@@ -222,40 +263,55 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
         alx = (gcx >> shift_loc) & 3
         aly = (gcy >> shift_loc) & 3
         alz = (gcz >> shift_loc) & 3
-        aaddr = node_addr(newl, anx, any_, anz)
 
         exit_node = stepping & ~inside_node & ~oob
+        trans = desc | exit_node
+
+        # transition target node (descend and exit are mutually exclusive)
+        tlvl = jnp.where(desc, dlvl, newl)
+        tnx = jnp.where(desc, dnx, anx)
+        tny = jnp.where(desc, dny, any_)
+        tnz = jnp.where(desc, dnz, anz)
 
         # ---- merge
-        out = list(s)
-        out[_HIT] = s[_HIT] | hit_now
-        out[_ACT] = act & ~hit_now & ~(stepping & oob)
-        out[_PEND] = pend | desc | exit_node
-        out[_ADDR] = jnp.where(desc, daddr, jnp.where(exit_node, aaddr, s[_ADDR]))
-        out[_NX] = jnp.where(desc, dnx, jnp.where(exit_node, anx, nx))
-        out[_NY] = jnp.where(desc, dny, jnp.where(exit_node, any_, ny))
-        out[_NZ] = jnp.where(desc, dnz, jnp.where(exit_node, anz, nz))
-        out[_LVL] = jnp.where(desc, jnp.maximum(lvl - 1, 1),
-                              jnp.where(exit_node, newl, lvl))
-        out[_LX] = jnp.where(desc, dlx,
-                             jnp.where(exit_node, alx,
-                                       jnp.where(stepping, slx, lx)))
-        out[_LY] = jnp.where(desc, dly,
-                             jnp.where(exit_node, aly,
-                                       jnp.where(stepping, sly, ly)))
-        out[_LZ] = jnp.where(desc, dlz,
-                             jnp.where(exit_node, alz,
-                                       jnp.where(stepping, slz, lz)))
-        out[_T] = jnp.where(stepping, t_exit, t)
-        out[_FACE] = jnp.where(stepping, nface, s[_FACE])
-        out[_HLVL] = jnp.where(hit_now, lvl, s[_HLVL])
-        if count_stats:
-            out[_ITER] = s[_ITER] + live.astype(I32)
+        out = dict(s)
+        if grouped:
+            taddr = group_addr(tlvl, tnx, tny, tnz)
+            cache_hit = trans & (taddr == s["gaddr"])
+            need = trans & ~cache_hit
+            sub = ((tnx & 1) | ((tny & 1) << 1) | ((tnz & 1) << 2))
+            out["alo"] = jnp.where(cache_hit, _sel8(s["grp"], sub, 0),
+                                   s["alo"])
+            out["ahi"] = jnp.where(cache_hit, _sel8(s["grp"], sub, 1),
+                                   s["ahi"])
         else:
-            out[_ITER] = s[_ITER] + live.astype(I32)
-        capped = out[_ITER] >= max_steps
-        out[_ACT] = out[_ACT] & ~capped
-        return tuple(out)
+            taddr = node_addr(tlvl, tnx, tny, tnz)
+            need = trans
+        out["hit"] = s["hit"] | hit_now
+        out["act"] = act & ~hit_now & ~(stepping & oob)
+        out["pend"] = pend | need
+        out["addr"] = jnp.where(need, taddr, s["addr"])
+        out["nx"] = jnp.where(trans, tnx, nx)
+        out["ny"] = jnp.where(trans, tny, ny)
+        out["nz"] = jnp.where(trans, tnz, nz)
+        out["lvl"] = jnp.where(trans, tlvl, lvl)
+        out["lx"] = jnp.where(desc, dlx,
+                              jnp.where(exit_node, alx,
+                                        jnp.where(stepping, slx, lx)))
+        out["ly"] = jnp.where(desc, dly,
+                              jnp.where(exit_node, aly,
+                                        jnp.where(stepping, sly, ly)))
+        out["lz"] = jnp.where(desc, dlz,
+                              jnp.where(exit_node, alz,
+                                        jnp.where(stepping, slz, lz)))
+        out["t"] = jnp.where(stepping, t_exit, t)
+        out["face"] = jnp.where(stepping, nface, s["face"])
+        out["hlvl"] = jnp.where(hit_now, lvl, s["hlvl"])
+        out["it"] = s["it"] + live.astype(I32)
+        out["em"] = s["em"] + jnp.where(exit_node, a + 1, 0)
+        capped = out["it"] >= max_steps
+        out["act"] = out["act"] & ~capped
+        return out
 
     return fetch, alu
 
@@ -274,7 +330,7 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
         # fallback traces otherwise burn full-width gather groups on zero
         # work (a fori_loop here cost ~800 ms/frame of dead gathers)
         def bcond(c):
-            return (c[0] < n_groups) & jnp.any(c[1][_ACT])
+            return (c[0] < n_groups) & jnp.any(c[1]["act"])
 
         def bbody(c):
             return c[0] + 1, group(c[1])
@@ -282,22 +338,62 @@ def _run_groups(fetch, alu, state, n_groups: int | None, fetch_every: int):
         return jax.lax.while_loop(bcond, bbody, (0, state))[1]
 
     def cond(s):
-        return jnp.any(s[_ACT])
+        return jnp.any(s["act"])
     return jax.lax.while_loop(cond, group, state)
+
+
+def _init_state(pyr: BrickPyramid, n, act0, o3, s_lvl, start_cell, use_full,
+                grouped):
+    ox, oy, oz = o3
+    zero_i = jnp.zeros((n,), I32)
+    zero_u = jnp.zeros((n,), U32)
+    size = pyr.size
+    if start_cell is None:
+        ncx0 = ncy0 = ncz0 = zero_i
+    else:
+        sc = start_cell.astype(I32)
+        ncx0 = jnp.broadcast_to(sc[0], (n,))
+        ncy0 = jnp.broadcast_to(sc[1], (n,))
+        ncz0 = jnp.broadcast_to(sc[2], (n,))
+    node_addr, group_addr = _addr_fns(pyr)
+    lvl0 = jnp.full((n,), s_lvl, I32)
+    if grouped:
+        addr0 = group_addr(lvl0, ncx0, ncy0, ncz0)
+    else:
+        addr0 = node_addr(lvl0, ncx0, ncy0, ncz0)
+    inv_child0 = F32(1.0 / (1 << (2 * (s_lvl - 1))))
+    state = dict(
+        act=act0, hit=jnp.zeros((n,), bool), pend=act0,
+        nx=ncx0, ny=ncy0, nz=ncz0, lvl=lvl0,
+        alo=zero_u, ahi=zero_u,
+        lx=jnp.clip((ox * inv_child0).astype(I32) - ncx0 * 4, 0, 3),
+        ly=jnp.clip((oy * inv_child0).astype(I32) - ncy0 * 4, 0, 3),
+        lz=jnp.clip((oz * inv_child0).astype(I32) - ncz0 * 4, 0, 3),
+        t=jnp.zeros((n,), F32), face=zero_i, addr=addr0,
+        it=zero_i, fe=zero_i, em=zero_i, hlvl=jnp.ones((n,), I32),
+    )
+    if use_full:
+        state["flo"] = zero_u
+        state["fhi"] = zero_u
+    if grouped:
+        state["grp"] = jnp.zeros((n, 16), U32)
+        state["gaddr"] = jnp.full((n,), -1, I32)
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "compact",
                                              "pack_first", "fetch_every",
                                              "phase1_groups", "pack_fraction",
                                              "with_stats", "start_level",
-                                             "use_full"))
+                                             "use_full", "cascade"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
           pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
           phase1_groups: int = PHASE1_GROUPS,
           pack_fraction: int = PACK_FRACTION,
           with_stats: bool = True, start_level: int | None = None,
-          start_cell=None, use_full: bool = True) -> TraceResult:
+          start_cell=None, use_full: bool = True,
+          cascade: tuple | None = None) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
     pack_first: if given (static), rays with active=True are front-packed
@@ -333,10 +429,12 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
             axis_coord=scat(rest.axis_coord, sub.axis_coord),
             t=scat(rest.t, sub.t),
             iterations=scat(rest.iterations, sub.iterations),
-            fetches=scat(rest.fetches, sub.fetches))
+            fetches=scat(rest.fetches, sub.fetches),
+            missed_pops=scat(rest.missed_pops, sub.missed_pops))
     depth = pyr.depth
     size = pyr.size
     n = ray_o.shape[0]
+    grouped = (not use_full) and pyr.rows_grp is not None
 
     ox, oy, oz = (ray_o[:, i].astype(F32) for i in range(3))
     dx, dy, dz = (ray_d[:, i].astype(F32) for i in range(3))
@@ -354,52 +452,24 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
               & (oz >= 0) & (oz < size))
     act0 = inside if active is None else (inside & active)
 
-    zero_i = jnp.zeros((n,), I32)
-    zero_u = jnp.zeros((n,), U32)
     # start-node hint: when every active origin shares one node (primary
     # camera rays), skip the common root descent — ~2 fetches per ray. The
     # traversal is correct from ANY node containing the origins: empty nodes
     # simply step + ascend out (dense addressing means every cell has a row).
     s_lvl = depth if start_level is None else start_level
-    if start_cell is None:
-        ncx0 = ncy0 = ncz0 = zero_i
-        addr0 = jnp.full((n,), I32(pyr.bases[depth]))
-    else:
-        sc = start_cell.astype(I32)
-        ncx0 = jnp.broadcast_to(sc[0], (n,))
-        ncy0 = jnp.broadcast_to(sc[1], (n,))
-        ncz0 = jnp.broadcast_to(sc[2], (n,))
-        g0 = max(size >> (2 * s_lvl), 1)
-        addr0 = jnp.broadcast_to(
-            I32(pyr.bases[s_lvl]) + sc[0] + sc[1] * g0 + sc[2] * g0 * g0, (n,))
-    inv_child0 = F32(1.0 / (1 << (2 * (s_lvl - 1))))
-    state = (
-        act0,                                    # ACT
-        jnp.zeros((n,), bool),                   # HIT
-        act0,                                    # PEND (start row fetch)
-        ncx0, ncy0, ncz0,                        # node
-        jnp.full((n,), s_lvl, I32),              # LVL
-        zero_u, zero_u, zero_u, zero_u,          # masks
-        jnp.clip((ox * inv_child0).astype(I32) - ncx0 * 4, 0, 3),  # local
-        jnp.clip((oy * inv_child0).astype(I32) - ncy0 * 4, 0, 3),
-        jnp.clip((oz * inv_child0).astype(I32) - ncz0 * 4, 0, 3),
-        jnp.zeros((n,), F32),                    # T
-        zero_i,                                  # FACE
-        addr0,                                   # ADDR
-        zero_i, zero_i,                          # ITER, FETCH
-        jnp.ones((n,), I32),                     # HLVL
-    )
+    state = _init_state(pyr, n, act0, (ox, oy, oz), s_lvl, start_cell,
+                        use_full, grouped)
 
     fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats, use_full)
 
     def outputs(st, rr, oo):
         oxx, oyy, ozz = oo
-        hit = st[_HIT]
-        face = st[_FACE]
-        hlvl = jnp.maximum(st[_HLVL] - 1, 0)     # hit child level
-        ccx = st[_NX] * 4 + st[_LX]
-        ccy = st[_NY] * 4 + st[_LY]
-        ccz = st[_NZ] * 4 + st[_LZ]
+        hit = st["hit"]
+        face = st["face"]
+        hlvl = jnp.maximum(st["hlvl"] - 1, 0)     # hit child level
+        ccx = st["nx"] * 4 + st["lx"]
+        ccy = st["ny"] * 4 + st["ly"]
+        ccz = st["nz"] * 4 + st["lz"]
         vsz = I32(1) << (2 * hlvl)
         origin_f = _sel3(face, ccx, ccy, ccz) * vsz
         neg = _sel3(face, rr[9], rr[10], rr[11]) < 0
@@ -407,11 +477,12 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         sv = _sel3(face, jnp.clip(oxx.astype(I32), 0, size - 1),
                    jnp.clip(oyy.astype(I32), 0, size - 1),
                    jnp.clip(ozz.astype(I32), 0, size - 1))
-        axis_coord = jnp.where(st[_T] == 0.0, sv, axis_coord)
+        axis_coord = jnp.where(st["t"] == 0.0, sv, axis_coord)
         return TraceResult(hit=hit, face=face,
                            axis_coord=jnp.where(hit, axis_coord, 0),
-                           t=jnp.where(hit, st[_T], F32(BIG_T)),
-                           iterations=st[_ITER], fetches=st[_FETCH])
+                           t=jnp.where(hit, st["t"], F32(BIG_T)),
+                           iterations=st["it"], fetches=st["fe"],
+                           missed_pops=st["em"])
 
     if not (compact and n >= 4096):
         state = _run_groups(fetch, alu, state, None, fetch_every)
@@ -431,8 +502,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
                 (rdx > 0).astype(I32), (rdy > 0).astype(I32),
                 (rdz > 0).astype(I32))
 
-    bases_l = [I32(b) for b in pyr.bases]
-    ngrid_l = [I32(max(size >> (2 * lv), 1)) for lv in range(depth + 1)]
+    node_addr_f, group_addr_f = _addr_fns(pyr)
 
     def finish(st, ro, rd, rr, rounds):
         """Run the remaining cascade on (state, rays); returns TraceResult."""
@@ -449,31 +519,41 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
             st = _run_groups(f_fn, a_fn, st, groups, fetch_every)
 
         m = ro.shape[0]
-        idx = jnp.nonzero(st[_ACT], size=cap, fill_value=m)[0]
+        idx = jnp.nonzero(st["act"], size=cap, fill_value=m)[0]
         valid = idx < m
         safe = jnp.minimum(idx, m - 1)
         sro = ro[safe]
         srd = rd[safe]
         srr = make_ray(sro, srd)
 
-        snx, sny, snz = st[_NX][safe], st[_NY][safe], st[_NZ][safe]
-        slvl = st[_LVL][safe]
-        g = _sel_level(slvl, ngrid_l)
-        saddr = _sel_level(slvl, bases_l) + snx + sny * g + snz * g * g
+        snx, sny, snz = st["nx"][safe], st["ny"][safe], st["nz"][safe]
+        slvl = st["lvl"][safe]
+        if grouped:
+            saddr = group_addr_f(slvl, snx, sny, snz)
+        else:
+            saddr = node_addr_f(slvl, snx, sny, snz)
         zc = jnp.zeros((cap,), U32)
-        sub = (
-            valid, jnp.zeros((cap,), bool), valid,
-            snx, sny, snz, slvl,
-            zc, zc, zc, zc,
-            st[_LX][safe], st[_LY][safe], st[_LZ][safe],
-            st[_T][safe], st[_FACE][safe], saddr,
-            st[_ITER][safe], st[_FETCH][safe], jnp.ones((cap,), I32),
+        sub = dict(
+            act=valid, hit=jnp.zeros((cap,), bool), pend=valid,
+            nx=snx, ny=sny, nz=snz, lvl=slvl,
+            alo=zc, ahi=zc,
+            lx=st["lx"][safe], ly=st["ly"][safe], lz=st["lz"][safe],
+            t=st["t"][safe], face=st["face"][safe], addr=saddr,
+            it=st["it"][safe], fe=st["fe"][safe], em=st["em"][safe],
+            hlvl=jnp.ones((cap,), I32),
         )
+        if use_full:
+            sub["flo"] = zc
+            sub["fhi"] = zc
+        if grouped:
+            sub["grp"] = jnp.zeros((cap, 16), U32)
+            sub["gaddr"] = jnp.full((cap,), -1, I32)
         sres = finish(sub, sro, srd, srr, rounds[1:])
 
         # deactivate packed lanes; safety net for capacity overflow
         mark = jnp.zeros((m,), bool).at[idx].set(valid, mode="drop")
-        st = tuple((x & ~mark) if i == _ACT else x for i, x in enumerate(st))
+        st = dict(st)
+        st["act"] = st["act"] & ~mark
         with jax.named_scope(f"tr_net_w{m}"):
             st = _run_groups(f_fn, a_fn, st, None, fetch_every)
         res = outputs(st, rr, o3)
@@ -489,7 +569,9 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
             iterations=merge(res.iterations, sres.iterations) if with_stats
             else res.iterations,
             fetches=merge(res.fetches, sres.fetches) if with_stats
-            else res.fetches)
+            else res.fetches,
+            missed_pops=merge(res.missed_pops, sres.missed_pops)
+            if with_stats else res.missed_pops)
 
     # phase 1 at full width, then the cascade. finish()'s convention per
     # entry (cap, groups): run `groups` at the current width, then pack
@@ -502,9 +584,16 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
     # ~49% active after 10 groups, 8.4% after 24, ~0.4% after 50) with
     # margin; packing costs ~150 ns/lane so needless capacity is expensive,
     # and the per-level overflow nets keep any distribution correct.
-    seq = [
-        (max((n * 11) // 20, 2048), 0),
-        (max(n // 10, 2048), 14),
-        (max(n // 50, 2048), 26),
-    ]
+    # `cascade` overrides the schedule: ((num, den, groups), ...) meaning
+    # pack survivors into capacity n*num//den after running `groups` more
+    # full/packed-width groups (see finish()); used by tools/sweep_trace.py.
+    if cascade is None:
+        seq = [
+            (max((n * 11) // 20, 2048), 0),
+            (max(n // 10, 2048), 14),
+            (max(n // 50, 2048), 26),
+        ]
+    else:
+        seq = [(max((n * num) // den, 2048), groups)
+               for (num, den, groups) in cascade]
     return finish(state, ray_o, ray_d, ray, seq)

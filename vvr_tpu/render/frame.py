@@ -26,8 +26,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vvr_tpu.config import (DEBUG_BUFFER_FETCHES, DEBUG_ITERATIONS,
-                            DEBUG_NORMALS, DEBUG_WORLD, RenderConfig)
+from vvr_tpu.config import (DEBUG_BUFFER_FETCHES, DEBUG_EXIT_TYPE,
+                            DEBUG_ITERATIONS, DEBUG_NORMALS, DEBUG_WORLD,
+                            RenderConfig)
 from vvr_tpu.ops import post as post_ops
 from vvr_tpu.ops import shade as shade_ops
 from vvr_tpu.ops import sky as sky_ops
@@ -69,7 +70,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     sun_col = sky_ops.sun_colour(sun3)
     sun_colour_final = jnp.where(sun3[1] > 0, 3.2 * sun_col, 0.0)
 
-    need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES)
+    need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
+                                    DEBUG_EXIT_TYPE)
     for bounce in range(cfg.max_ray_iterations):
         res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active,
                     with_stats=need_stats, use_full=False)
@@ -106,12 +108,17 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         shaded = hit & ~mirror
 
         if bounce == 0:
-            dbg = dict(iterations=res.iterations, normal=normal,
+            dbg = dict(iterations=res.iterations, fetches=res.fetches,
+                       missed_pops=res.missed_pops, normal=normal,
                        block_pos=block_pos, hit=hit, world=world)
 
-        # ambient occlusion (raytracer.slang:274-277): filtered density
-        # sampled one voxel along the normal (-2 on negative axes)
-        if cfg.ambient_occlusion and svt_density is not None:
+        # ambient occlusion — "filtered" (raytracer.slang:274-277): density
+        # sampled one voxel along the normal (-2 on negative axes);
+        # "overlap": the planar overlap-query estimator (ops/overlap.py)
+        if cfg.ambient_occlusion and cfg.ao_mode == "overlap":
+            from vvr_tpu.ops.overlap import overlap_ao
+            ao = overlap_ao(pyr, world, normal, face)
+        elif cfg.ambient_occlusion and svt_density is not None:
             wtf = jnp.where(normal < 0, -2.0, normal)
             from vvr_tpu.world.svt import sample_density_trilinear
             ao = 1.0 - jnp.clip(
@@ -154,16 +161,9 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         else:
             shadow = jnp.ones((n,), F32)
 
-        if cfg.debug_type == 0:
-            # rasterization debug path analog (shaders/rasterized.slang:53-86):
-            # the reference draws the surface-nets meshes and ray-traces a
-            # binary sun shadow in the fragment shader; the visual output —
-            # geometry in flat black/white shadow over the sky background —
-            # is reproduced here from the same shadow rays.
-            lit = jnp.broadcast_to(
-                jnp.where(shadow > 0.5, 1.0, 0.0)[:, None], (n, 3))
-        else:
-            lit = shade_ops.lighting(
+        # (debug_type == 0 — the rasterization path — is a separate pipeline:
+        # render/raster.py, dispatched by the Renderer, not this megakernel)
+        lit = shade_ops.lighting(
                 world, albedo, normal, rough, metal,
                 jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
                 sun_colour_final)
@@ -180,7 +180,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 lres = trace(pyr, jnp.broadcast_to(lp, (n, 3)), ldir,
                              max_steps=cfg.traversal_max_steps, active=near,
                              pack_first=max(n // 8, 2048) if n >= 4096 else None,
-                             with_stats=False)
+                             with_stats=False, use_full=False)
                 unshadowed = (lres.t + 0.1) > dist_l
                 n_dot_l = jnp.clip(jnp.sum(normal * (-ldir), -1), 0.0, 1.0)
                 s = jnp.clip(10.0 - dist_l, 0.0, 1.0)
@@ -215,15 +215,18 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
 
 
 def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
-    it = dbg["iterations"].astype(F32).reshape(h, w)
+    """Debug heatmaps (raytracer.slang:401-428), same normalizations."""
     if cfg.debug_type == DEBUG_ITERATIONS:
-        return heatmap(it / 256.0)
+        return heatmap(dbg["iterations"].astype(F32).reshape(h, w) / 256.0)
     if cfg.debug_type == DEBUG_BUFFER_FETCHES:
-        return heatmap(it / 32.0)
+        return heatmap(dbg["fetches"].astype(F32).reshape(h, w) / 32.0)
     if cfg.debug_type == DEBUG_NORMALS:
         return jnp.clip(dbg["normal"].reshape(h, w, 3), 0.0, 1.0)
     if cfg.debug_type == DEBUG_WORLD:
         return (dbg["block_pos"].reshape(h, w, 3) % 16).astype(F32) / 16.0
+    if cfg.debug_type == DEBUG_EXIT_TYPE:
+        # heatmap(num_entered_but_missed / 64) — raytracer.slang:421-423
+        return heatmap(dbg["missed_pops"].astype(F32).reshape(h, w) / 64.0)
     return None
 
 

@@ -1,0 +1,228 @@
+"""Software rasterizer — the reference's rasterization debug path, TPU-style.
+
+Rebuild of the `debug_type == 0` path (src/renderer.rs:694-771): the
+surface-nets chunk meshes (world/mesher.py) are drawn with a z-buffer and
+each covered pixel ray-traces a binary sun shadow — the reference does the
+trace in the fragment shader (shaders/rasterized.slang:53-86, trace_shi from
+`world + 0.5 + sun * 0.1` along the sun; returns hit ? 1 : 0, i.e. occluded
+pixels render WHITE — kept as-is). The sky background quad
+(shaders/sky_background.slang:31-52) fills uncovered pixels by sampling the
+skybox + clouds along the pixel ray.
+
+TPU-native design: no per-triangle loop — fixed-shape sample grids. Each
+triangle rasterizes a KxK pixel-center grid over its screen bbox (K = 16);
+triangles with a larger bbox go through a fixed-capacity close-up queue at
+K2 = 128. Triangles are processed in fixed slabs (static shapes; one compile)
+whose (zbuf, winner) outputs fold by lexicographic (depth, id) min. Depth
+resolve inside a slab is two scatters: f32 view-depth scatter-min, then
+tri-id scatter-min among depth-matching fragments. Coverage uses
+perspective-correct barycentrics on the projected triangle; the vertex
+transform matches rasterized.slang:38-50 (the reference negates clip x/y for
+its row-vector matrices; with this camera's column-vector (view, proj) the
+negation cancels and ndc matches ops/raygen.py's pixel convention).
+Triangles wider than K2 pixels are dropped (debug-path limitation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vvr_tpu.config import RenderConfig
+from vvr_tpu.ops import post as post_ops
+from vvr_tpu.ops import sky as sky_ops
+from vvr_tpu.ops.raygen import generate_rays
+from vvr_tpu.ops.traverse import trace
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+K_SMALL = 16       # per-triangle sample grid (pass 1)
+K_BIG = 128        # close-up grid (pass 2)
+BIG_CAP = 2048     # fixed capacity of the close-up queue per slab
+SLAB = 32768       # triangles per rasterization slab
+NO_TRI = np.iinfo(np.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def project_verts(verts, view, proj, width: int, height: int):
+    """verts (V,3) -> (screen_x, screen_y, w); w = distance along camera
+    forward (proj row 3 = [0,0,-1,0], utils/camera.py)."""
+    vh = jnp.concatenate([verts, jnp.ones((verts.shape[0], 1), F32)], -1)
+    clip = vh @ (proj @ view).T
+    w = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
+    ndc = clip[:, :2] / safe_w[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width - 0.5
+    sy = (1.0 - ndc[:, 1]) * 0.5 * height - 0.5
+    return sx, sy, w
+
+
+def _edge_cover(ax, ay, bx, by, cx, cy, pxg, pyg):
+    """Barycentric coords of sample grid vs projected tri (both windings)."""
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)
+    e0 = ((cx - bx)[:, None, None] * (pyg - by[:, None, None])
+          - (cy - by)[:, None, None] * (pxg - bx[:, None, None]))
+    e1 = ((ax - cx)[:, None, None] * (pyg - cy[:, None, None])
+          - (ay - cy)[:, None, None] * (pxg - cx[:, None, None]))
+    l0 = e0 * inv_area[:, None, None]
+    l1 = e1 * inv_area[:, None, None]
+    l2 = 1.0 - l0 - l1
+    eps = -1e-6
+    cover = (l0 >= eps) & (l1 >= eps) & (l2 >= eps) & (inv_area != 0.0)[:, None, None]
+    return l0, l1, l2, cover
+
+
+def _grid_pass(sx, sy, w, tri, valid, tri_gid, h, w_img, k):
+    """Rasterize one triangle batch on a k x k grid; returns (zbuf, winner)
+    as (h*w,) f32 / i32 (winner = global tri id, NO_TRI where empty) and the
+    per-tri `fits` mask."""
+    ax, ay = sx[tri[:, 0]], sy[tri[:, 0]]
+    bx, by = sx[tri[:, 1]], sy[tri[:, 1]]
+    cx, cy = sx[tri[:, 2]], sy[tri[:, 2]]
+    wa, wb, wc = w[tri[:, 0]], w[tri[:, 1]], w[tri[:, 2]]
+    valid = valid & (wa > 1e-3) & (wb > 1e-3) & (wc > 1e-3)
+
+    x0 = jnp.floor(jnp.minimum(ax, jnp.minimum(bx, cx)))
+    y0 = jnp.floor(jnp.minimum(ay, jnp.minimum(by, cy)))
+    x1 = jnp.ceil(jnp.maximum(ax, jnp.maximum(bx, cx)))
+    y1 = jnp.ceil(jnp.maximum(ay, jnp.maximum(by, cy)))
+    fits = (x1 - x0 <= k) & (y1 - y0 <= k)
+
+    ii = jnp.arange(k, dtype=F32)
+    pxg = (x0[:, None] + 0.5 + ii[None, :])[:, None, :]   # (T, 1, k)
+    pyg = (y0[:, None] + 0.5 + ii[None, :])[:, :, None]   # (T, k, 1)
+
+    l0, l1, l2, cover = _edge_cover(ax, ay, bx, by, cx, cy, pxg, pyg)
+    cover &= (valid & fits)[:, None, None]
+    on_screen = ((pxg >= 0) & (pxg < w_img) & (pyg >= 0) & (pyg < h))
+    cover &= on_screen
+
+    inv_w = (l0 / wa[:, None, None] + l1 / wb[:, None, None]
+             + l2 / wc[:, None, None])
+    depth = 1.0 / jnp.maximum(inv_w, 1e-9)
+
+    pix = (jnp.clip(pyg, 0, h - 1).astype(I32) * w_img
+           + jnp.clip(pxg, 0, w_img - 1).astype(I32))
+    pix = jnp.broadcast_to(pix, depth.shape)
+    pixf = jnp.where(cover, pix, 0).reshape(-1)
+    dflat = jnp.where(cover, depth, jnp.inf).reshape(-1)
+
+    zbuf = jnp.full((h * w_img,), jnp.inf, F32).at[pixf].min(dflat)
+    gid = jnp.broadcast_to(tri_gid[:, None, None], depth.shape).reshape(-1)
+    match = (dflat <= zbuf[pixf] * (1.0 + 1e-6)) & (dflat < jnp.inf)
+    gid = jnp.where(match, gid, NO_TRI)
+    winner = jnp.full((h * w_img,), NO_TRI, I32).at[pixf].min(gid)
+    return zbuf, winner, fits
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w_img"))
+def _raster_slab(sx, sy, w, tri, valid, tri_gid, h: int, w_img: int):
+    """One slab: small-grid pass + close-up requeue; returns (zbuf, winner)."""
+    zbuf, winner, fits = _grid_pass(sx, sy, w, tri, valid, tri_gid, h,
+                                    w_img, K_SMALL)
+    t = tri.shape[0]
+    big = valid & ~fits
+    big_idx = jnp.nonzero(big, size=BIG_CAP, fill_value=t)[0]
+    bsafe = jnp.minimum(big_idx, t - 1)
+    zbuf2, winner2, _ = _grid_pass(
+        sx, sy, w, tri[bsafe], big_idx < t, tri_gid[bsafe], h, w_img, K_BIG)
+    use2 = (zbuf2 < zbuf) | ((zbuf2 == zbuf) & (winner2 < winner))
+    return (jnp.minimum(zbuf, zbuf2), jnp.where(use2, winner2, winner))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _shade_raster(winner, verts, tris, pyr, cam_pos, right, up, fwd,
+                  tan_half, skybox, clouds_tex, sun, cfg: RenderConfig):
+    """Resolve winning fragments to world positions, trace the binary sun
+    shadow, composite over the sky background."""
+    h, w_img = cfg.render_height, cfg.render_width
+    sun3 = sun[:3]
+    t = tris.shape[0]
+    covered = winner != NO_TRI
+    wtri = jnp.clip(winner, 0, t - 1)
+    v0 = verts[tris[wtri, 0]]
+    v1 = verts[tris[wtri, 1]]
+    v2 = verts[tris[wtri, 2]]
+
+    o, d = generate_rays(cam_pos, right, up, fwd, tan_half, w_img, h)
+    n_geo = jnp.cross(v1 - v0, v2 - v0)
+    n_geo = n_geo / jnp.maximum(
+        jnp.linalg.norm(n_geo, axis=-1, keepdims=True), 1e-12)
+    denom = jnp.sum(n_geo * d, -1)
+    tplane = jnp.sum(n_geo * (v0 - o), -1) / jnp.where(
+        jnp.abs(denom) < 1e-9, 1e-9, denom)
+    world = o + d * tplane[:, None]
+
+    # fragment shadow trace (rasterized.slang:83-85): occluded -> white
+    s_o = world + 0.5 + sun3[None, :] * 0.1
+    sdir = jnp.broadcast_to(sun3, world.shape)
+    n = world.shape[0]
+    pack_cap = max((n * 3) // 4, 2048) if n >= 4096 else None
+    s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
+                  active=covered, pack_first=pack_cap, with_stats=False,
+                  use_full=False).hit
+    frag_rgb = jnp.where(s_hit[:, None], 1.0, 0.0) * jnp.ones((n, 3), F32)
+
+    sky_rgb = sky_ops.sample_skybox_and_clouds(skybox, clouds_tex, o, d)
+    rgb = jnp.where(covered[:, None], frag_rgb, sky_rgb)
+    hdr = jnp.concatenate([rgb, jnp.zeros((n, 1), F32)], -1).reshape(
+        h, w_img, 4)
+    bloom2 = jnp.zeros((max(h >> 2, 1), max(w_img >> 2, 1), 4), F32)
+    return post_ops.composite(hdr, bloom2, cfg.height, cfg.width, 0.0, False)
+
+
+def raster_debug_frame(mesh, pyr, camera, sun, time, cfg: RenderConfig):
+    """Host wrapper: VoxelMeshBuffers + Camera -> u8 image (the full
+    debug_type == 0 frame, src/renderer.rs:694-771)."""
+    h, w_img = cfg.render_height, cfg.render_width
+    view, proj = camera.matrices(w_img, h)
+    verts = np.asarray(mesh.vertices, np.float32)
+    tris_np = np.zeros((max(len(mesh.indices) // 3, 1), 3), np.int32)
+    pos = 0
+    for r in mesh.ranges:
+        seg = np.asarray(
+            mesh.indices[r.first_index:r.first_index + r.index_count],
+            np.int64) + r.vertex_offset
+        tris_np[pos:pos + len(seg) // 3] = seg.reshape(-1, 3)
+        pos += len(seg) // 3
+    if len(verts) == 0:
+        verts = np.zeros((1, 3), np.float32)
+
+    vj = jnp.asarray(verts)
+    sx, sy, w = project_verts(vj, jnp.asarray(view), jnp.asarray(proj),
+                              w_img, h)
+    t = len(tris_np)
+    n_slabs = max((t + SLAB - 1) // SLAB, 1)
+    pad = n_slabs * SLAB - t
+    tris_pad = np.pad(tris_np, ((0, pad), (0, 0)))
+    valid_pad = np.arange(n_slabs * SLAB) < (t if len(mesh.indices) else 0)
+    zbuf = jnp.full((h * w_img,), jnp.inf, F32)
+    winner = jnp.full((h * w_img,), NO_TRI, I32)
+    for s in range(n_slabs):
+        sl = slice(s * SLAB, (s + 1) * SLAB)
+        zb, wn = _raster_slab(sx, sy, w, jnp.asarray(tris_pad[sl]),
+                              jnp.asarray(valid_pad[sl]),
+                              jnp.arange(s * SLAB, (s + 1) * SLAB,
+                                         dtype=np.int32),
+                              h, w_img)
+        use = (zb < zbuf) | ((zb == zbuf) & (wn < winner))
+        zbuf = jnp.minimum(zbuf, zb)
+        winner = jnp.where(use, wn, winner)
+
+    clouds_tex = sky_ops.write_clouds(jnp.asarray(sun[:3]),
+                                      jnp.float32(time),
+                                      cfg.clouds_resolution)
+    skybox = sky_ops.write_skybox(jnp.asarray(sun[:3]), jnp.float32(time),
+                                  cfg.skybox_resolution)
+    right, up, fwd = camera.basis()
+    tan_half = np.float32(np.tan(np.radians(camera.fov) / 2.0))
+    return _shade_raster(winner, vj, jnp.asarray(tris_pad), pyr,
+                         jnp.asarray(camera.position, F32),
+                         jnp.asarray(right, F32), jnp.asarray(up, F32),
+                         jnp.asarray(fwd, F32), tan_half, skybox,
+                         clouds_tex, jnp.asarray(sun), cfg)

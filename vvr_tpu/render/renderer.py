@@ -63,10 +63,18 @@ class Renderer:
         return n * (1 + max(self.cfg.shadow_samples, 0))
 
     def render(self, camera: Camera, time: float | None = None,
-               timed: bool = False) -> np.ndarray:
-        """One frame -> (H, W, 3) u8. With timed=True, blocks and records the
-        pass time into Statistics."""
+               timed: bool = False, fetch: bool = False):
+        """One frame -> (H, W, 3) u8, ON DEVICE by default (the analog of the
+        reference's triple-buffered frames-in-flight, per_frame_data.rs:5:
+        frames stay on the GPU; the host never reads pixels back). Pass
+        fetch=True (or np.asarray the result) to materialize on the host.
+        With timed=True, synchronizes on a single-pixel checksum (a ~3 B
+        transfer that forces the whole frame — `block_until_ready` alone can
+        return early through the remote-TPU tunnel) and records the pass
+        time into Statistics."""
         t = self.elapsed if time is None else time
+        if self.cfg.debug_type == 0:
+            return self._render_raster(camera, t, timed=timed, fetch=fetch)
         # dynamic world: the per-frame SVT colorize/blur pass on one partial
         # brick, round-robin (renderer.rs:581-609 / voxel_interesting_compute)
         if self.svt is not None and self.svt.num_bricks > 0:
@@ -85,15 +93,36 @@ class Renderer:
             mirror_materials=self.mirror_materials,
             lights=jax.numpy.asarray(self.scene.lights)
             if self.cfg.point_lights else None)
+        return self._finish_frame(img, t0, timed, fetch)
+
+    def _finish_frame(self, img, t0, timed: bool, fetch: bool):
         if timed:
-            img = jax.block_until_ready(img)
+            np.asarray(img[-1, -1])  # sync: forces the frame, transfers 3 B
             self.stats.push_timing((_time.monotonic() - t0) * 1e3)
         self.frame_count += 1
         res = self.stats.end_of_frame(self.frame_count)
         if res is not None:
             log.info("Sample Count: %d, Avg: %.3fms, StdDev: %.4f",
                      res["samples"], res["avg_ms"], res["stddev"])
-        return np.asarray(img)
+        return np.asarray(img) if fetch else img
+
+    @property
+    def mesh(self):
+        """Surface-nets world mesh for the raster path (built lazily;
+        src/voxel/meshes.rs via world/mesher.py)."""
+        if getattr(self, "_mesh", None) is None:
+            from vvr_tpu.world.mesher import VoxelMeshBuffers
+            self._mesh = VoxelMeshBuffers.build(self.scene.chunks)
+        return self._mesh
+
+    def _render_raster(self, camera: Camera, t: float, timed: bool,
+                       fetch: bool):
+        """The debug_type == 0 rasterization path (renderer.rs:694-771)."""
+        from vvr_tpu.render.raster import raster_debug_frame
+        t0 = _time.monotonic()
+        img = raster_debug_frame(self.mesh, self.scene.pyramid, camera,
+                                 jax.numpy.asarray(self.sun), t, self.cfg)
+        return self._finish_frame(img, t0, timed, fetch)
 
     def profile_frame(self, camera: Camera, trace_dir: str = "/tmp/vvr_trace"):
         """Capture one frame under jax.profiler (the timestamp-query
@@ -122,12 +151,14 @@ class Renderer:
             self.render(camera, timed=True)
         self.stats.benchmark_duration_s = duration_s
         self.stats.start_benchmarking(self.frame_count)
-        # the reference skips the first ROLLING frames of a capture
+        # terminal condition mirrors statistics.rs:43-64: end_of_frame
+        # returns the result dict exactly once when the capture window (which
+        # skips the first ROLLING frames) elapses; loop until that frame.
         result = None
-        while result is None:
+        while self.stats.benchmark is not None:
             self.render(camera, timed=True)
-            result = self.stats.last_result if self.stats.benchmark is None \
-                and self.stats.last_result else None
+            result = self.stats.last_result
+        assert result is not None
         result = dict(result)
         result["mrays_per_s"] = mrays_per_sec(self.rays_per_frame,
                                               result["avg_ms"])

@@ -40,6 +40,11 @@ class Movement:
     def camera(self) -> Camera:
         return Camera(self.position.copy(), self.rotation.copy(), self.fov)
 
+    def forward(self) -> np.ndarray:
+        """World-space camera forward (movement.rs `forward()`; the
+        middle-mouse sun-direction source, renderer.rs:455-457)."""
+        return self.camera().basis()[2]
+
     def update(self, inp: Input, delta: float):
         self.local_velocity[:] = 0.0
         boosted = inp.get_button("boost").held()

@@ -58,49 +58,101 @@ class WorldEditor:
 
         return pack(any_b), pack(full_b)
 
+    def _recompute_rows_batch(self, level: int, cells: np.ndarray):
+        """Vectorized any/full (lo, hi) u32 masks for (K, 3) cells at
+        `level`: one reshape of the occupancy + one fancy-index per call."""
+        cs = 1 << (2 * (level - 1))
+        g = max(self.size >> (2 * level), 1)
+        blk = 4 * cs
+        occ6 = self._occ.reshape(g, blk, g, blk, g, blk).transpose(
+            0, 2, 4, 1, 3, 5)                      # (gz,gy,gx, bz,by,bx) view
+        regions = occ6[cells[:, 2], cells[:, 1], cells[:, 0]]  # (K, blk^3)
+        r = regions.reshape(-1, 4, cs, 4, cs, 4, cs)
+        any_b = r.any(axis=(2, 4, 6)).reshape(-1, 64)   # (K, z4*y4*x4)
+        full_b = r.all(axis=(2, 4, 6)).reshape(-1, 64)
+        pa = np.packbits(any_b, axis=1, bitorder="little").view(np.uint32)
+        pf = np.packbits(full_b, axis=1, bitorder="little").view(np.uint32)
+        return pa, pf                                   # each (K, 2)
+
     def set_voxels(self, positions: np.ndarray, solid: bool) -> int:
-        """Set/clear voxels at (K, 3) int world coords. Returns the number of
-        node rows patched on device."""
+        """Set/clear voxels at (K, 3) int world coords in ONE vectorized
+        pass: the occupancy update, the per-level affected-row recompute and
+        the device scatters (node table AND grouped table) are all batched —
+        a 1,000-voxel brush patches the device with one scatter per table.
+        Returns the number of node rows patched."""
         positions = np.atleast_2d(np.asarray(positions, np.int64))
         positions = positions[
             np.all((positions >= 0) & (positions < self.size), axis=1)]
         if len(positions) == 0:
             return 0
+        px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+        self._occ[pz, py, px] = solid
 
-        # update chunk bitsets + dense view
-        for x, y, z in positions:
-            self._occ[z, y, x] = solid
-            key = (int(x) // CHUNK_SIZE, int(y) // CHUNK_SIZE, int(z) // CHUNK_SIZE)
+        # chunk bitsets: group positions by chunk, one scatter per chunk
+        keys = positions // CHUNK_SIZE
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        for ki, key_arr in enumerate(uniq):
+            key = tuple(int(v) for v in key_arr)
             c = self._chunk_index.get(key)
             if c is None:
                 c = Chunk(np.array(key), np.zeros((CHUNK_SIZE,) * 3, bool))
                 self._chunk_index[key] = c
                 self.chunks.append(c)
-            c.voxels[z % CHUNK_SIZE, y % CHUNK_SIZE, x % CHUNK_SIZE] = solid
+            sel = positions[inv == ki] % CHUNK_SIZE
+            c.voxels[sel[:, 2], sel[:, 1], sel[:, 0]] = solid
             n_set = c.voxels.sum()
             c.kind = (ChunkKind.EMPTY if n_set == 0 else
                       ChunkKind.FULL if n_set == CHUNK_SIZE ** 3 else
                       ChunkKind.PARTIAL)
 
-        # affected node rows: the ancestor chain of every edited voxel
-        rows = {}
-        for p in positions:
-            for level in range(1, self.depth + 1):
-                cell = p >> (2 * level)
-                rows[(level, tuple(cell))] = None
-        idx = []
-        vals = []
-        for (level, cell) in rows:
-            (alo, ahi), (flo, fhi) = self._recompute_row(level, np.array(cell))
-            idx.append(self._node_row(level, np.array(cell)))
-            vals.append((alo, ahi, flo, fhi))
-
-        idx = jnp.asarray(np.array(idx, np.int32))
-        vals = jnp.asarray(np.array(vals, np.uint32))
+        # affected rows per level: the ancestor chains, deduplicated; the
+        # grouped table needs whole 2x2x2 groups, so recompute every member
+        # node of each affected group (idempotent for unaffected members)
+        grouped = self.pyramid.rows_grp is not None
+        new_rows = self.pyramid.rows
+        new_grp = self.pyramid.rows_grp
+        n_patched = 0
+        for level in range(1, self.depth + 1):
+            cells = np.unique(positions >> (2 * level), axis=0)
+            g = max(self.size >> (2 * level), 1)
+            if grouped:
+                groups = np.unique(cells >> 1, axis=0)
+                # all 8 members of each group; members beyond the level grid
+                # are zero padding in the grouped table (never addressed)
+                offs = np.array([[x, y, z] for z in (0, 1) for y in (0, 1)
+                                 for x in (0, 1)], np.int64)
+                members = groups[:, None, :] * 2 + offs[None]     # (G, 8, 3)
+                member_ok = (members < g).all(axis=2)             # (G, 8)
+                cells = np.unique(members.reshape(-1, 3)[
+                    member_ok.reshape(-1)], axis=0)
+            pa, pf = self._recompute_rows_batch(level, cells)
+            idx = (self.pyramid.bases[level] + cells[:, 0] + cells[:, 1] * g
+                   + cells[:, 2] * g * g).astype(np.int32)
+            vals = np.concatenate([pa, pf], axis=1)
+            new_rows = new_rows.at[jnp.asarray(idx)].set(jnp.asarray(vals))
+            n_patched += len(cells)
+            if grouped:
+                gg = max((g + 1) // 2, 1)
+                gidx = (self.pyramid.gbases[level] + groups[:, 0]
+                        + groups[:, 1] * gg
+                        + groups[:, 2] * gg * gg).astype(np.int32)
+                # assemble (G, 16) rows: word [sub*2 + hi], sub = x|y<<1|z<<2
+                gvals = np.zeros((len(groups), 16), np.uint32)
+                cell_key = {tuple(c): i for i, c in enumerate(cells)}
+                for sub in range(8):
+                    ok = member_ok[:, sub]
+                    if not ok.any():
+                        continue
+                    rows_i = np.array([cell_key[tuple(m)]
+                                       for m in members[ok, sub]])
+                    gvals[ok, 2 * sub] = pa[rows_i, 0]
+                    gvals[ok, 2 * sub + 1] = pa[rows_i, 1]
+                new_grp = new_grp.at[jnp.asarray(gidx)].set(
+                    jnp.asarray(gvals))
         self.pyramid = BrickPyramid(
-            self.pyramid.rows.at[idx].set(vals),
-            self.pyramid.depth, self.pyramid.bases)
-        return len(rows)
+            new_rows, self.pyramid.depth, self.pyramid.bases,
+            rows_grp=new_grp, gbases=self.pyramid.gbases)
+        return n_patched
 
     def occupancy(self) -> np.ndarray:
         return self._occ

@@ -1,14 +1,23 @@
 """Chunk mesher — the rasterization debug path's geometry.
 
-Rebuild of src/voxel/meshes.rs: per chunk, pass 1 emits vertices for exposed
-cells, pass 2 emits quads across set/unset face transitions with per-axis
-winding (:87-161); chunk meshes are concatenated into shared vertex/index
-buffers with per-chunk draw ranges (`SingleChunkInBuffer`, :10-15,33-44).
+Rebuild of src/voxel/meshes.rs. The primary mesher is the reference's
+*surface-nets* scheme (meshes.rs:87-161): pass 1 emits ONE vertex per
+sign-change cell (a 2x2x2 corner neighbourhood that is neither empty nor
+full) at the cell center + 0.5; pass 2 emits quads across set/unset face
+transitions, connecting the 4 cell vertices around the shared edge, with
+winding dir = is_set XOR (axis == 1) selecting triangle order
+[0,1,2, 2,1,3] vs [1,0,2, 1,2,3] (meshes.rs:72-73,152-156). Like the
+reference, quads are only generated for interior positions [1, S-1)^3 per
+chunk (chunk borders are left open — a reference quirk kept for parity),
+and vertex cells span [0, S-1)^3 of the chunk's own bitset only.
+Vertex IDs are assigned in x-fastest cell order (the reference uses
+z-fastest; position sets are identical, only IDs differ).
 
-The C++ mesher (vvr_tpu/native) is used when built; the NumPy fallback
-produces identical buffers (tested). Meshes serve the debug/preview path
-(export to OBJ, or external rasterization) — the TPU main path is the ray
-tracer."""
+A simpler blocky per-exposed-face cube mesher is kept as
+`mesh_voxels_blocky` (with its C++ twin in vvr_tpu/native) for OBJ export;
+it is NOT the surface-nets mesher. Chunk meshes are concatenated into shared
+vertex/index buffers with per-chunk draw ranges (`SingleChunkInBuffer`,
+meshes.rs:10-15,33-44)."""
 
 from __future__ import annotations
 
@@ -23,10 +32,69 @@ from vvr_tpu.world.chunk import CHUNK_SIZE, Chunk, ChunkKind
 _NB = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
                 [0, 0, 1], [0, 0, -1]], np.int32)
 
+# the 4 vertex-cell offsets around a face transition, per axis
+# (meshes.rs:166-173, quad_vertex_offsets_for_axis)
+_QUAD_OFFS = (
+    np.array([[0, 0, 0], [0, 1, 0], [0, 0, 1], [0, 1, 1]], np.int32),  # x
+    np.array([[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]], np.int32),  # y
+    np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.int32),  # z
+)
+_QUAD_ORDER = np.array([0, 1, 2, 2, 1, 3], np.int64)            # meshes.rs:72
+_QUAD_ORDER_OPP = np.array([1, 0, 2, 1, 2, 3], np.int64)        # meshes.rs:73
 
-def mesh_voxels_numpy(vox: np.ndarray):
-    """Vectorized fallback mesher: (verts (V,3) f32, indices (I,) u32),
-    4 verts + 2 tris per exposed face, same layout as the C++ mesher."""
+
+def mesh_chunk_surface_nets(vox: np.ndarray):
+    """Surface-nets mesh of one chunk's bool voxels [z,y,x] (local coords).
+    Returns (verts (V,3) f32 at sign-change cell centers + 0.5,
+    indices (I,) u32 triangle list). Vectorized port of meshes.rs:87-161."""
+    v = np.asarray(vox, bool)
+    s = v.shape[0]
+    # pass 1: 8-corner occupancy count per cell in [0, s-1)^3
+    cnt = np.zeros((s - 1, s - 1, s - 1), np.int8)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cnt += v[dz:dz + s - 1, dy:dy + s - 1, dx:dx + s - 1]
+    has_vert = (cnt > 0) & (cnt < 8)
+    # vertex ids in x-fastest order: transpose to [x,y,z] before ravel
+    hv_x = has_vert.transpose(2, 1, 0)                  # [x,y,z]
+    ids_flat = np.cumsum(hv_x.ravel()) - 1
+    lookup = ids_flat.reshape(hv_x.shape)               # [x,y,z] -> id
+    xx, yy, zz = np.nonzero(hv_x)
+    verts = np.stack([xx, yy, zz], 1).astype(np.float32) + 0.5
+
+    tris = []
+    for axis in range(3):
+        ax_zyx = 2 - axis                               # array axis for x/y/z
+        sl_a = [slice(1, s - 1)] * 3
+        sl_b = [slice(1, s - 1)] * 3
+        sl_b[ax_zyx] = slice(2, s)
+        a = v[tuple(sl_a)]                              # is_set(pos)
+        b = v[tuple(sl_b)]                              # is_set(pos + e_axis)
+        tz, ty, tx = np.nonzero(a != b)
+        if len(tx) == 0:
+            continue
+        pos = np.stack([tx, ty, tz], 1).astype(np.int32) + 1  # (Q,3) x,y,z
+        nextc = pos.copy()
+        nextc[:, axis] += 1
+        is_set = a[tz, ty, tx]
+        # 4 vertex cells: offs + next_cell - 1 (meshes.rs:140)
+        cells = nextc[:, None, :] - 1 + _QUAD_OFFS[axis][None, :, :]  # (Q,4,3)
+        vid = lookup[cells[..., 0], cells[..., 1], cells[..., 2]]     # (Q,4)
+        dir_ = is_set ^ (axis == 1)                    # meshes.rs:130
+        order = np.where(dir_[:, None], _QUAD_ORDER[None, :],
+                         _QUAD_ORDER_OPP[None, :])     # (Q,6)
+        tris.append(np.take_along_axis(vid, order, axis=1).reshape(-1))
+    if not tris:
+        return verts.reshape(-1, 3), np.zeros(0, np.uint32)
+    return verts, np.concatenate(tris).astype(np.uint32)
+
+
+def mesh_voxels_blocky(vox: np.ndarray):
+    """Blocky cube mesher: (verts (V,3) f32, indices (I,) u32), 4 verts +
+    2 tris per exposed voxel face, same layout as the C++ fast path. This is
+    NOT the reference's surface-nets mesher (see mesh_chunk_surface_nets);
+    it exists for watertight OBJ export."""
     vox = np.asarray(vox, bool)
     n = vox.shape[0]
     p = np.pad(vox, 1)
@@ -82,18 +150,27 @@ class VoxelMeshBuffers:
     ranges: list
 
     @classmethod
-    def build(cls, chunks: list[Chunk], prefer_native: bool = True):
+    def build(cls, chunks: list[Chunk], prefer_native: bool = True,
+              scheme: str = "surface_nets"):
+        """scheme: 'surface_nets' (reference raster-path mesher,
+        meshes.rs:87-161; Full/Empty chunks produce no geometry, :77-80) or
+        'blocky' (cube faces, OBJ export)."""
         all_v = []
         all_i = []
         ranges = []
         voff = 0
         ioff = 0
         for c in chunks:
+            if c.kind != ChunkKind.PARTIAL and scheme == "surface_nets":
+                continue  # reference meshes Partial chunks only
             if c.kind == ChunkKind.EMPTY:
                 continue
-            out = native.mesh_chunk_native(c.voxels) if prefer_native else None
-            if out is None:
-                out = mesh_voxels_numpy(c.voxels)
+            if scheme == "surface_nets":
+                out = mesh_chunk_surface_nets(c.voxels)
+            else:
+                out = native.mesh_chunk_native(c.voxels) if prefer_native else None
+                if out is None:
+                    out = mesh_voxels_blocky(c.voxels)
             v, i = out
             origin = (c.position.astype(np.float32) * CHUNK_SIZE)[None, :]
             all_v.append(v + origin)
