@@ -144,15 +144,19 @@ def _addr_fns(pyr: BrickPyramid):
 
 
 def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
-                  use_full: bool = True):
+                  use_full: bool = True, grouped: bool = False):
     """Returns (fetch_fn, alu_fn) over dict state, closed over static pyramid
     metadata and the per-ray constants. use_full=True walks the per-node
     (any, full) table with the FULL_NODE early-out; use_full=False walks the
-    grouped any-only table (faster; rays descend through full regions —
-    identical hit results)."""
+    any-only 8-byte rows (measured fastest on v5e: the A/B in
+    tools/ab_grouped.py put any8B at 2.6x the grouped path — register-
+    caching a 64 B group costs more ALU/state bandwidth than it saves in
+    gathers); grouped=True additionally walks the 2x2x2-group 64 B rows with
+    a register cache (kept as an opt-in experiment). Identical hit results
+    in all modes."""
     depth = pyr.depth
     size = pyr.size
-    grouped = (not use_full) and pyr.rows_grp is not None
+    grouped = grouped and (not use_full) and pyr.rows_grp is not None
     rows = pyr.rows_grp if grouped else (pyr.rows if use_full else pyr.rows_any)
     (ox, oy, oz, dx, dy, dz, ix_, iy_, iz_, sx, sy, sz, px_, py_, pz_) = ray
 
@@ -385,14 +389,14 @@ def _init_state(pyr: BrickPyramid, n, act0, o3, s_lvl, start_cell, use_full,
                                              "pack_first", "fetch_every",
                                              "phase1_groups", "pack_fraction",
                                              "with_stats", "start_level",
-                                             "use_full", "cascade"))
+                                             "use_full", "grouped", "cascade"))
 def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
           active=None, compact: bool = True,
           pack_first: int | None = None, fetch_every: int = FETCH_EVERY,
           phase1_groups: int = PHASE1_GROUPS,
           pack_fraction: int = PACK_FRACTION,
           with_stats: bool = True, start_level: int | None = None,
-          start_cell=None, use_full: bool = True,
+          start_cell=None, use_full: bool = True, grouped: bool = False,
           cascade: tuple | None = None) -> TraceResult:
     """Trace N rays against the brick pyramid. ray_o/ray_d: (N, 3) f32.
 
@@ -410,7 +414,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
                     active=p_valid, compact=compact, pack_first=None,
                     fetch_every=fetch_every, phase1_groups=phase1_groups,
                     pack_fraction=pack_fraction, with_stats=with_stats,
-                    use_full=use_full)
+                    use_full=use_full, grouped=grouped)
         # overflow lanes (beyond capacity) traced at full width; zero work
         # when everything fit
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid, mode="drop")
@@ -418,7 +422,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
         rest = trace(pyr, ray_o, ray_d, max_steps=max_steps,
                      active=overflow, compact=True, pack_first=None,
                      fetch_every=fetch_every, with_stats=with_stats,
-                     use_full=use_full)
+                     use_full=use_full, grouped=grouped)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),
@@ -434,7 +438,7 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
     depth = pyr.depth
     size = pyr.size
     n = ray_o.shape[0]
-    grouped = (not use_full) and pyr.rows_grp is not None
+    grouped = grouped and (not use_full) and pyr.rows_grp is not None
 
     ox, oy, oz = (ray_o[:, i].astype(F32) for i in range(3))
     dx, dy, dz = (ray_d[:, i].astype(F32) for i in range(3))
@@ -460,7 +464,8 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
     state = _init_state(pyr, n, act0, (ox, oy, oz), s_lvl, start_cell,
                         use_full, grouped)
 
-    fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats, use_full)
+    fetch, alu = _make_stepper(pyr, ray, max_steps, with_stats, use_full,
+                               grouped)
 
     def outputs(st, rr, oo):
         oxx, oyy, ozz = oo
@@ -506,7 +511,8 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
 
     def finish(st, ro, rd, rr, rounds):
         """Run the remaining cascade on (state, rays); returns TraceResult."""
-        f_fn, a_fn = _make_stepper(pyr, rr, max_steps, with_stats, use_full)
+        f_fn, a_fn = _make_stepper(pyr, rr, max_steps, with_stats, use_full,
+                                   grouped)
         o3 = (rr[0], rr[1], rr[2])
         m0 = ro.shape[0]
         if not rounds:
