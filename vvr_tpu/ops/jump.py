@@ -73,15 +73,26 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         did = s["pend"] & s["act"]
         addr = jnp.where(did, s["addr"], 0)
         r = jnp.take(rows, addr, axis=0, mode="clip")
-        dval = r[:, 16].astype(I32)
+        # per-octant jump distance: words[24 + (dx>0) | (dy>0)<<1 | (dz>0)<<2]
+        # (the octant is a per-ray constant; 7-select tree)
+        e0 = jnp.where(px_ == 1, r[:, 25], r[:, 24])
+        e1 = jnp.where(px_ == 1, r[:, 27], r[:, 26])
+        e2 = jnp.where(px_ == 1, r[:, 29], r[:, 28])
+        e3 = jnp.where(px_ == 1, r[:, 31], r[:, 30])
+        f0 = jnp.where(py_ == 1, e1, e0)
+        f1 = jnp.where(py_ == 1, e3, e2)
+        dval = jnp.where(pz_ == 1, f1, f0).astype(I32)
         out = dict(s)
         out["grp"] = jnp.where(did[:, None], r[:, :16], s["grp"])
+        out["slo"] = jnp.where(did, r[:, 17], s["slo"])
+        out["shi"] = jnp.where(did, r[:, 18], s["shi"])
 
         jmp = did & (dval > 0)
         ent = did & (dval == 0)
         vx, vy, vz = s["vx"], s["vy"], s["vz"]
         bx, by, bz = vx >> 3, vy >> 3, vz >> 3
-        # exit planes of the safe empty box [sb-(d-1), sb+(d-1)]
+        # exit planes of the one-sided safe box {sb + c, c in [0, d-1]^3
+        # along the octant}; the back planes are the brick's own bounds
         exx = jnp.where(dx > 0, (bx + dval) * SB, (bx - dval + 1) * SB)
         exy = jnp.where(dy > 0, (by + dval) * SB, (by - dval + 1) * SB)
         exz = jnp.where(dz > 0, (bz + dval) * SB, (bz - dval + 1) * SB)
@@ -92,9 +103,12 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         nface = jnp.where(tz <= te, 2, jnp.where(ty <= te, 1, 0))
         # landing voxel: crossed axis exact, others derived + clipped into
         # the safe box (same float formulas as the oracle's step)
-        lo_x, hi_x = (bx - dval + 1) * SB, (bx + dval) * SB - 1
-        lo_y, hi_y = (by - dval + 1) * SB, (by + dval) * SB - 1
-        lo_z, hi_z = (bz - dval + 1) * SB, (bz + dval) * SB - 1
+        lo_x = jnp.where(dx > 0, bx * SB, (bx - dval + 1) * SB)
+        hi_x = jnp.where(dx > 0, (bx + dval) * SB - 1, bx * SB + SB - 1)
+        lo_y = jnp.where(dy > 0, by * SB, (by - dval + 1) * SB)
+        hi_y = jnp.where(dy > 0, (by + dval) * SB - 1, by * SB + SB - 1)
+        lo_z = jnp.where(dz > 0, bz * SB, (bz - dval + 1) * SB)
+        hi_z = jnp.where(dz > 0, (bz + dval) * SB - 1, bz * SB + SB - 1)
         cx = jnp.where(dx > 0, exx, exx - 1)
         cy = jnp.where(dy > 0, exy, exy - 1)
         cz = jnp.where(dz > 0, exz, exz - 1)
@@ -125,7 +139,11 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         return out
 
     def alu(s):
-        """One in-brick voxel DDA sub-step (solid test, then step)."""
+        """One in-brick DDA sub-step: solid test, then a voxel step — or a
+        2^3-subcell step when the row's subcell mask says the ray's whole
+        subcell is empty (subcell planes are voxel planes, so the float
+        t/face formulas stay oracle-identical; non-crossed coordinates are
+        clipped into the subcell exactly like jump landings)."""
         live = s["act"] & s["inb"] & ~s["hit"]
         vx, vy, vz = s["vx"], s["vy"], s["vz"]
         lx, ly, lz = vx & 7, vy & 7, vz & 7
@@ -136,18 +154,39 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         solid = ((word >> sh) & U32(1)) == 1
         hit_now = live & solid
 
+        # subcell occupancy: bit cx | cy<<2 | cz<<4 of the (slo, shi) u64
+        sbit = ((lx >> 1) | ((ly >> 1) << 2) | ((lz >> 1) << 4)).astype(I32)
+        sword = jnp.where(sbit >= 32, s["shi"], s["slo"])
+        sub_empty = ((sword >> (sbit & 31).astype(U32)) & U32(1)) == 0
+
         step = live & ~solid
-        bx = (vx + px_).astype(F32)
-        by = (vy + py_).astype(F32)
-        bz = (vz + pz_).astype(F32)
+        big = sub_empty  # scale-2 step (only meaningful for stepping lanes)
+        bx = jnp.where(big, ((vx >> 1) + px_) << 1, vx + px_).astype(F32)
+        by = jnp.where(big, ((vy >> 1) + py_) << 1, vy + py_).astype(F32)
+        bz = jnp.where(big, ((vz >> 1) + pz_) << 1, vz + pz_).astype(F32)
         tx = jnp.where(dx == 0.0, F32(BIG_T), (bx - ox) * ix_)
         ty = jnp.where(dy == 0.0, F32(BIG_T), (by - oy) * iy_)
         tz = jnp.where(dz == 0.0, F32(BIG_T), (bz - oz) * iz_)
         te = jnp.minimum(tx, jnp.minimum(ty, tz))
         nface = jnp.where(tz <= te, 2, jnp.where(ty <= te, 1, 0))
-        nvx = vx + jnp.where(nface == 0, sx, 0)
-        nvy = vy + jnp.where(nface == 1, sy, 0)
-        nvz = vz + jnp.where(nface == 2, sz, 0)
+        # crossed axis: first voxel beyond the selected bound plane;
+        # non-crossed: unchanged (voxel step) or float-derived + clipped
+        # into the current subcell (scale-2 step)
+        bxi = bx.astype(I32)
+        byi = by.astype(I32)
+        bzi = bz.astype(I32)
+        cxx = jnp.where(dx > 0, bxi, bxi - 1)
+        cyy = jnp.where(dy > 0, byi, byi - 1)
+        czz = jnp.where(dz > 0, bzi, bzi - 1)
+        fx = jnp.clip(jnp.floor(ox + dx * te).astype(I32),
+                      (vx >> 1) << 1, ((vx >> 1) << 1) + 1)
+        fy = jnp.clip(jnp.floor(oy + dy * te).astype(I32),
+                      (vy >> 1) << 1, ((vy >> 1) << 1) + 1)
+        fz = jnp.clip(jnp.floor(oz + dz * te).astype(I32),
+                      (vz >> 1) << 1, ((vz >> 1) << 1) + 1)
+        nvx = jnp.where(nface == 0, cxx, jnp.where(big, fx, vx))
+        nvy = jnp.where(nface == 1, cyy, jnp.where(big, fy, vy))
+        nvz = jnp.where(nface == 2, czz, jnp.where(big, fz, vz))
         moved = _sel3(nface, nvx, nvy, nvz)
         stayed = _sel3(nface, vx, vy, vz)
         exited = (moved >> 3) != (stayed >> 3)
@@ -205,6 +244,7 @@ def _init_state(grid: JumpGrid, n, act0, o3):
         t=jnp.zeros((n,), F32), face=zero_i,
         addr=(vx >> 3) + (vy >> 3) * g + (vz >> 3) * g * g,
         grp=jnp.zeros((n, 16), U32),
+        slo=jnp.zeros((n,), U32), shi=jnp.zeros((n,), U32),
         it=zero_i, fe=zero_i, em=zero_i,
     )
 
@@ -308,6 +348,7 @@ def trace_jump(grid: JumpGrid, ray_o, ray_d, max_steps: int = 2048,
             vx=st["vx"][safe], vy=st["vy"][safe], vz=st["vz"][safe],
             t=st["t"][safe], face=st["face"][safe], addr=st["addr"][safe],
             grp=jnp.zeros((cap, 16), U32),
+            slo=jnp.zeros((cap,), U32), shi=jnp.zeros((cap,), U32),
             it=st["it"][safe], fe=st["fe"][safe], em=st["em"][safe],
         )
         sres = finish(sub, sro, srd, srr, rounds[1:])

@@ -9,7 +9,17 @@ with a TPU-shaped design: the world is a (S/8)^3 grid of 8^3-voxel
                 (word = 2*lz + (ly>>2), bit = lx + 8*(ly&3))
   words[16]   : chebyshev distance (in superbricks) to the nearest
                 non-empty superbrick; 0 = this superbrick is non-empty
-  words[17:32]: zero padding (power-of-two row stride)
+  words[17:19]: 64-bit any-mask of the brick's 4^3 grid of 2^3-voxel
+                subcells (bit = cx | cy<<2 | cz<<4) — lets the in-brick
+                DDA cross empty 2^3 regions in one step
+  words[19:24]: zero padding
+  words[24:32]: per-direction-octant jump distances: words[24 + oct]
+                (oct = (dx>0) | (dy>0)<<1 | (dz>0)<<2) is the largest d
+                such that the axis-aligned box extending d-1 superbricks
+                from this one ALONG THE OCTANT ONLY is all-empty. Always
+                >= the chebyshev distance (the box is one-sided), so
+                rays jump farther — up-going rays (sky misses, shadow
+                rays toward the sun) clear the terrain in 1-2 fetches.
 
 Rationale (measured, v5e — tools/microbench_gather.py): a random row gather
 from a <=32K-row table costs ~4.9 ns/lane REGARDLESS of row width up to
@@ -75,6 +85,52 @@ def chebyshev_distance(occ_sb: np.ndarray, cap: int | None = None) -> np.ndarray
     return d
 
 
+def _shift_fill(a: np.ndarray, off: tuple, fill: int) -> np.ndarray:
+    """a sampled at v + off ([z,y,x] offsets), out-of-grid -> fill."""
+    out = np.full_like(a, fill)
+    src = []
+    dst = []
+    for ax, o in enumerate(off):
+        n = a.shape[ax]
+        if o >= 0:
+            src.append(slice(o, n))
+            dst.append(slice(0, n - o))
+        else:
+            src.append(slice(0, n + o))
+            dst.append(slice(-o, n))
+    out[tuple(dst)] = a[tuple(src)]
+    return out
+
+
+def octant_distances(occ_sb: np.ndarray, cap: int = 32) -> np.ndarray:
+    """(8, G, G, G) int32: for each direction octant, the largest d such
+    that the one-sided box {v + c*sign, c in [0, d-1]^3} is all-empty
+    (0 at non-empty cells). Recurrence d(v) = 1 + min over the 7 proper
+    {0,1}^3*sign neighbors, iterated to fixpoint; out-of-grid counts as
+    empty so rays jump cleanly out of the world."""
+    g = occ_sb.shape[0]
+    cap = min(cap, g)
+    out = np.zeros((8,) + occ_sb.shape, np.int32)
+    offs = [(cz, cy, cx) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)
+            if (cx, cy, cz) != (0, 0, 0)]
+    for oct_ in range(8):
+        sx = 1 if (oct_ & 1) else -1
+        sy = 1 if (oct_ & 2) else -1
+        sz = 1 if (oct_ & 4) else -1
+        d = np.where(occ_sb, 0, cap).astype(np.int32)
+        for _ in range(cap):
+            prev = d
+            m = np.full_like(d, cap)
+            for (cz, cy, cx) in offs:
+                np.minimum(m, _shift_fill(d, (cz * sz, cy * sy, cx * sx),
+                                          cap), out=m)
+            d = np.where(occ_sb, 0, np.minimum(d, np.minimum(m, cap - 1) + 1))
+            if (d == prev).all():
+                break
+        out[oct_] = d
+    return out
+
+
 def pack_superbricks(occ: np.ndarray) -> np.ndarray:
     """bool occ [z,y,x] (S,S,S) -> (G^3, 16) u32 occupancy words with
     word = 2*lz + (ly>>2), bit-in-word = lx + 8*(ly&3)."""
@@ -103,4 +159,14 @@ def build_jump_grid(occ: np.ndarray) -> JumpGrid:
     rows = np.zeros((g ** 3, ROW_WORDS), np.uint32)
     rows[:, :16] = words
     rows[:, 16] = dist.ravel().astype(np.uint32)  # x-major: [z,y,x].ravel()
+    # 2^3-subcell any-masks: reduce to the (S/2)^3 grid, pack each brick's
+    # 4^3 subcells as a u64 (lo, hi) pair with bit = cx | cy<<2 | cz<<4
+    # (pyramid._pack_node_masks packs exactly that shape)
+    from vvr_tpu.world.pyramid import _pack_node_masks
+    h = size // 2
+    occ2 = occ.reshape(h, 2, h, 2, h, 2).any(axis=(1, 3, 5))
+    rows[:, 17:19] = _pack_node_masks(occ2)
+    odist = octant_distances(occ_sb)            # (8, g, g, g)
+    for oct_ in range(8):
+        rows[:, 24 + oct_] = odist[oct_].ravel().astype(np.uint32)
     return JumpGrid(jnp.asarray(rows), size)
