@@ -134,6 +134,45 @@ def test_brush_edit_batched():
     assert int(np.asarray(res.axis_coord)[0]) == 30
 
 
+def test_edits_update_jump_grid():
+    """Edits keep the attached JumpGrid identical to a from-scratch build,
+    including the empty<->non-empty flips that force a distance-field
+    recompute (stale radii would be UNSAFE jumps)."""
+    from vvr_tpu.ops.jump import trace_jump
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+
+    occ = np.zeros((64, 64, 64), bool)
+    occ[10, :, :] = True
+    chunks = [Chunk([0, 0, 0], occ).rebuild()]
+    ed = WorldEditor(chunks, build_brick_pyramid(occ),
+                     jumpgrid=build_jump_grid(occ))
+
+    # carve a hole (no superbrick flip: the slab's bricks stay non-empty)
+    hole = [(31, 31), (31, 32), (32, 31), (32, 32)]
+    ed.set_voxels(np.array([[x, y, 10] for x, y in hole]), solid=False)
+    np.testing.assert_array_equal(
+        np.asarray(build_jump_grid(ed.occupancy()).rows),
+        np.asarray(ed.jumpgrid.rows))
+
+    # floating block in previously-empty space: superbrick flips non-empty,
+    # distances must shrink everywhere around it
+    ed.set_voxels(np.array([[31, 31, 40]]), solid=True)
+    np.testing.assert_array_equal(
+        np.asarray(build_jump_grid(ed.occupancy()).rows),
+        np.asarray(ed.jumpgrid.rows))
+    res = trace_jump(ed.jumpgrid,
+                     jnp.asarray([[31.5, 31.5, 63.0]], jnp.float32),
+                     jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32))
+    assert bool(np.asarray(res.hit)[0])
+    assert int(np.asarray(res.axis_coord)[0]) == 40
+
+    # clear it again: superbrick flips back to empty (distances regrow)
+    ed.set_voxels(np.array([[31, 31, 40]]), solid=False)
+    np.testing.assert_array_equal(
+        np.asarray(build_jump_grid(ed.occupancy()).rows),
+        np.asarray(ed.jumpgrid.rows))
+
+
 def test_edit_full_and_empty_transitions():
     occ = np.ones((16, 16, 16), bool)
     chunks = []  # chunk granularity is 64; 16^3 world has no chunk list

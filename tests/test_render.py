@@ -104,6 +104,21 @@ def test_raster_debug_path(pyr, small_world):
     assert (np.abs(img.astype(int) - main_img.astype(int)) > 8).mean() > 0.05
 
 
+def test_jump_traversal_frame_matches_pyramid(small_world, pyr):
+    """traversal='jump' must produce the IDENTICAL frame: both kernels are
+    oracle-bit-exact on hit/face/axis_coord, and shading consumes only
+    those. (The flagship Renderer path uses the jump grid by default at
+    bench scale — this pins frame-level equivalence.)"""
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+    _, _, occ = small_world
+    grid = build_jump_grid(occ)
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img_p, hdr_p = _render(pyr, cam)
+    img_j, hdr_j = _render(grid, cam)
+    np.testing.assert_array_equal(img_j, img_p)
+    np.testing.assert_array_equal(hdr_j, hdr_p)
+
+
 def test_mirror_materials_bounce(pyr):
     cfg = RenderConfig(**{**SMALL_CFG.__dict__, "max_ray_iterations": 3})
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)

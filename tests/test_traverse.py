@@ -128,6 +128,25 @@ def test_active_mask():
     assert np.asarray(res.hit).tolist() == [True, False, True, False]
 
 
+def test_grouped_mode_matches_oracle(small_world):
+    """grouped=True (64 B 2x2x2-node-group rows, register sibling cache)
+    must give identical results to the default any8B path."""
+    _, _, occ = small_world
+    rng = np.random.default_rng(17)
+    o, d = random_rays(rng, 2000, occ.shape[0])
+    pyr = build_pyramid(occ)
+    a = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,
+              use_full=False)
+    b = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,
+              use_full=False, grouped=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    hit = np.asarray(a.hit)
+    np.testing.assert_array_equal(np.asarray(a.face)[hit],
+                                  np.asarray(b.face)[hit])
+    np.testing.assert_array_equal(np.asarray(a.axis_coord)[hit],
+                                  np.asarray(b.axis_coord)[hit])
+
+
 def test_any_only_rows_match_oracle(small_world):
     """use_full=False (8-byte any-only rows) must give identical results —
     the full-mask is purely a traversal early-out."""

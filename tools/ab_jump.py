@@ -22,17 +22,19 @@ def main():
 
     from vvr_tpu.config import WorldConfig
     from vvr_tpu.ops.jump import trace_jump
+    from vvr_tpu.ops.jump2 import trace_jump2
     from vvr_tpu.ops.raygen import camera_rays
     from vvr_tpu.ops.traverse import trace
     from vvr_tpu.utils.camera import Camera
     from vvr_tpu.world.generator import assemble_dense, generate_world
-    from vvr_tpu.world.jumpgrid import build_jump_grid
+    from vvr_tpu.world.jumpgrid import build_jump_grid, build_jump_grid2
     from vvr_tpu.world.pyramid import build_brick_pyramid
 
     wcfg = WorldConfig(depth=4)
     occ = assemble_dense(generate_world(wcfg), wcfg.size)
     pyr = build_brick_pyramid(occ)
     grid = build_jump_grid(occ)
+    grid2 = build_jump_grid2(occ)
     cam = Camera.look_at([128.0, 100.0, 20.0], [128.0, 20.0, 180.0], fov=85.0)
     o, d = camera_rays(cam, 1920, 1080)
     n = o.shape[0]
@@ -53,16 +55,16 @@ def main():
                   flush=True)
         return
 
-    def flagship_pyr():
+    def flagship_pyr(grouped=False):
         res = trace(pyr, o, d, max_steps=256, with_stats=False,
-                    use_full=False)
+                    use_full=False, grouped=grouped)
         hit = res.hit
         w = o + d * res.t[:, None]
         s_o = w + sun[None, :] * 0.05
         sdir = jnp.broadcast_to(sun, (n, 3))
         sres = trace(pyr, s_o, sdir, max_steps=256, active=hit,
                      pack_first=(n * 3) // 4, with_stats=False,
-                     use_full=False)
+                     use_full=False, grouped=grouped)
         return res.t.sum() + sres.t.sum()
 
     def flagship_jump(fe, p1, cascade):
@@ -87,28 +89,71 @@ def main():
         sec = float(np.median(ts))
         return round(sec * 1e3, 1), round(2 * n / sec / 1e6, 2)
 
-    fp = jax.jit(flagship_pyr)
-    ms, mrays = bench(fp)
-    print(json.dumps({"kernel": "pyramid", "ms": ms, "mrays": mrays}),
-          flush=True)
+    def flagship_jump2(fe, p1, cascade):
+        res = trace_jump2(grid2, o, d, max_steps=2048, with_stats=False,
+                          fetch_every=fe, phase1_groups=p1, cascade=cascade)
+        hit = res.hit
+        w = o + d * res.t[:, None]
+        s_o = w + sun[None, :] * 0.05
+        sdir = jnp.broadcast_to(sun, (n, 3))
+        sres = trace_jump2(grid2, s_o, sdir, max_steps=2048, active=hit,
+                           pack_first=(n * 3) // 4, with_stats=False,
+                           fetch_every=fe, phase1_groups=p1, cascade=cascade)
+        return res.t.sum() + sres.t.sum()
 
+    def flagship_mix():
+        """primary: pyramid any8B; shadow: jump kernel (one octant, the
+        jump grid's best case — both kernels are oracle-exact so mixing
+        keeps the composition exact)."""
+        res = trace(pyr, o, d, max_steps=256, with_stats=False,
+                    use_full=False)
+        hit = res.hit
+        w = o + d * res.t[:, None]
+        s_o = w + sun[None, :] * 0.05
+        sdir = jnp.broadcast_to(sun, (n, 3))
+        sres = trace_jump(grid, s_o, sdir, max_steps=2048, active=hit,
+                          pack_first=(n * 3) // 4, with_stats=False)
+        return res.t.sum() + sres.t.sum()
+
+    if "--mix" in sys.argv:
+        fm = jax.jit(flagship_mix)
+        ms, mrays = bench(fm)
+        print(json.dumps({"kernel": "mix_pyr+jumpshadow", "ms": ms,
+                          "mrays": mrays}), flush=True)
+    if "--pyr" in sys.argv:
+        fp = jax.jit(flagship_pyr, static_argnums=0)
+        ms, mrays = bench(fp, False)
+        print(json.dumps({"kernel": "pyramid", "ms": ms, "mrays": mrays}),
+              flush=True)
+    if "--pyrg" in sys.argv:
+        fp = jax.jit(flagship_pyr, static_argnums=0)
+        ms, mrays = bench(fp, True)
+        print(json.dumps({"kernel": "pyramid_grouped", "ms": ms,
+                          "mrays": mrays}), flush=True)
+
+    # survivor-matched cascades (tools/ab_jump.py --survivors, v5e:
+    # actives 65% @2 groups, 28% @3, 15.6% @4, 6.1% @6, 3% @8, 0.4% @12)
+    CASCADES = {
+        "svA": ((3, 8, 3), (1, 12, 6), (1, 100, 0)),
+        "svB": ((7, 10, 2), (1, 5, 4), (1, 25, 6), (1, 200, 0)),
+        "svC": ((3, 8, 3), (1, 25, 9), (1, 400, 0)),
+    }
+    runs = []
+    for key in sys.argv[1:]:
+        if key.startswith(("j:", "j2:")):
+            kern, fe, p1, cn = key.split(":")
+            runs.append(("jump" if kern == "j" else "jump2", int(fe),
+                         int(p1), CASCADES.get(cn) if cn != "none" else None))
     fj = jax.jit(flagship_jump, static_argnames=("fe", "p1", "cascade"))
-    runs = [(6, 6, None), (4, 6, None), (8, 6, None), (6, 4, None),
-            (6, 8, None)]
-    for casc in (
-        ((1, 2, 0), (1, 10, 6), (1, 50, 12)),
-        ((2, 5, 0), (1, 16, 6), (1, 64, 12)),
-        ((1, 2, 0), (1, 8, 4), (1, 32, 10)),
-    ):
-        runs.append((6, 4, casc))
-    for fe, p1, casc in runs:
+    fj2 = jax.jit(flagship_jump2, static_argnames=("fe", "p1", "cascade"))
+    for kern, fe, p1, casc in runs:
         try:
-            ms, mrays = bench(fj, fe, p1, casc)
-            print(json.dumps({"kernel": "jump", "fe": fe, "p1": p1,
+            ms, mrays = bench(fj2 if kern == "jump2" else fj, fe, p1, casc)
+            print(json.dumps({"kernel": kern, "fe": fe, "p1": p1,
                               "cascade": casc, "ms": ms, "mrays": mrays}),
                   flush=True)
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"kernel": "jump", "fe": fe, "p1": p1,
+            print(json.dumps({"kernel": kern, "fe": fe, "p1": p1,
                               "cascade": casc, "error": str(e)[:200]}),
                   flush=True)
 

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one frame")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--traversal", choices=("auto", "jump", "pyramid"),
+                   default="auto",
+                   help="acceleration structure: flat jump grid (ops/jump) "
+                        "or hierarchical brick pyramid (ops/traverse); "
+                        "auto picks jump up to 320^3 worlds")
     return p
 
 
@@ -98,6 +103,7 @@ def main(argv=None) -> int:
         debug_type=args.debug_type,
         bloom_enabled=not args.no_bloom,
         point_lights=args.point_lights,
+        traversal=args.traversal,
     )
 
     r = Renderer(world_cfg, render_cfg, force_regenerate=args.force_regenerate,

@@ -72,6 +72,14 @@ class RenderConfig:
     # TPU knobs (no reference analog; group_size_exp becomes the ray tile)
     ray_tile: int = 4096            # rays per traversal batch lane-block
     traversal_max_steps: int = 256  # static HDDA iteration cap
+    traversal: str = "auto"         # "pyramid": hierarchical brick HDDA
+                                    # (ops/traverse.py); "jump": flat
+                                    # superbrick DDA with distance jumps
+                                    # (ops/jump.py); "auto": jump while the
+                                    # row table stays in the fast gather
+                                    # regime (<= 64K superbricks, i.e.
+                                    # size <= 320 — PROGRESS.md microbench),
+                                    # pyramid beyond
     # Sky resources (reference: src/skybox.rs:43-45)
     skybox_resolution: int = 256
     clouds_resolution: int = 512
@@ -79,6 +87,14 @@ class RenderConfig:
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
     bloom_sample_mip: int = 2
+
+    def use_jump(self, world_size: int) -> bool:
+        """Resolve the traversal knob for a world of `world_size` voxels."""
+        if self.traversal == "jump":
+            return True
+        if self.traversal == "pyramid":
+            return False
+        return (world_size // 8) ** 3 <= 65536
 
     @property
     def render_width(self) -> int:

@@ -48,10 +48,13 @@ FETCH_EVERY = 6      # sub-steps per group; slot 0 carries the gather + jump
 PHASE1_GROUPS = 6    # groups before the first straggler compaction
 
 
-def _sel16(grp, w):
-    """grp[:, w] via a 4-level binary select tree (grp: (N, 16) u32)."""
+def _sel16(g, w):
+    """g[w] via a 4-level binary select tree (g: sequence of 16 (N,) u32
+    vectors). Separate contiguous vectors, NOT an (N, 16) array — column
+    reads of an interleaved array are strided vector loads, measured to
+    dominate the sub-step cost (tools/profile_trace.py 'slice' fusions)."""
     b0, b1, b2, b3 = (w & 1) == 0, (w & 2) == 0, (w & 4) == 0, (w & 8) == 0
-    a = [jnp.where(b0, grp[:, 2 * k], grp[:, 2 * k + 1]) for k in range(8)]
+    a = [jnp.where(b0, g[2 * k], g[2 * k + 1]) for k in range(8)]
     b = [jnp.where(b1, a[2 * k], a[2 * k + 1]) for k in range(4)]
     c = [jnp.where(b2, b[2 * k], b[2 * k + 1]) for k in range(2)]
     return jnp.where(b3, c[0], c[1])
@@ -83,7 +86,8 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         f1 = jnp.where(py_ == 1, e3, e2)
         dval = jnp.where(pz_ == 1, f1, f0).astype(I32)
         out = dict(s)
-        out["grp"] = jnp.where(did[:, None], r[:, :16], s["grp"])
+        for k in range(16):  # one strided unpack per fetch, contiguous after
+            out[f"g{k}"] = jnp.where(did, r[:, k], s[f"g{k}"])
         out["slo"] = jnp.where(did, r[:, 17], s["slo"])
         out["shi"] = jnp.where(did, r[:, 18], s["shi"])
 
@@ -149,7 +153,7 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         lx, ly, lz = vx & 7, vy & 7, vz & 7
 
         w = 2 * lz + (ly >> 2)
-        word = _sel16(s["grp"], w)
+        word = _sel16([s[f"g{k}"] for k in range(16)], w)
         sh = (lx + ((ly & 3) << 3)).astype(U32)
         solid = ((word >> sh) & U32(1)) == 1
         hit_now = live & solid
@@ -243,9 +247,9 @@ def _init_state(grid: JumpGrid, n, act0, o3):
         vx=vx, vy=vy, vz=vz,
         t=jnp.zeros((n,), F32), face=zero_i,
         addr=(vx >> 3) + (vy >> 3) * g + (vz >> 3) * g * g,
-        grp=jnp.zeros((n, 16), U32),
         slo=jnp.zeros((n,), U32), shi=jnp.zeros((n,), U32),
         it=zero_i, fe=zero_i, em=zero_i,
+        **{f"g{k}": jnp.zeros((n,), U32) for k in range(16)},
     )
 
 
@@ -347,9 +351,9 @@ def trace_jump(grid: JumpGrid, ray_o, ray_d, max_steps: int = 2048,
             pend=valid, inb=jnp.zeros((cap,), bool),
             vx=st["vx"][safe], vy=st["vy"][safe], vz=st["vz"][safe],
             t=st["t"][safe], face=st["face"][safe], addr=st["addr"][safe],
-            grp=jnp.zeros((cap, 16), U32),
             slo=jnp.zeros((cap,), U32), shi=jnp.zeros((cap,), U32),
             it=st["it"][safe], fe=st["fe"][safe], em=st["em"][safe],
+            **{f"g{k}": jnp.zeros((cap,), U32) for k in range(16)},
         )
         sres = finish(sub, sro, srd, srr, rounds[1:])
 

@@ -108,10 +108,13 @@ def _bit64(lo, hi, bit):
     return ((word >> sh) & U32(1)) == 1
 
 
-def _sel8(r, sub, off):
-    """r[:, 2*sub + off] via a select tree (r: (N, 16) u32, sub in 0..7)."""
-    # level 1: pick by bit0 of sub -> 4 candidates; then bit1; then bit2
-    c = [jnp.where((sub & 1) == 0, r[:, 4 * k + off], r[:, 4 * k + 2 + off])
+def _sel8(g, sub, off):
+    """g[2*sub + off] via a select tree (g: sequence of 16 (N,) u32 vectors,
+    sub in 0..7). The group words live as SEPARATE contiguous vectors, not
+    an (N, 16) array: column reads of an interleaved array are 16-byte-
+    strided vector loads, which profiling showed dominate the sub-step cost
+    (the 'slice' fusions in tools/profile_trace.py)."""
+    c = [jnp.where((sub & 1) == 0, g[4 * k + off], g[4 * k + 2 + off])
          for k in range(4)]
     d0 = jnp.where((sub & 2) == 0, c[0], c[1])
     d1 = jnp.where((sub & 2) == 0, c[2], c[3])
@@ -174,9 +177,11 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
         if grouped:
             sub = ((s["nx"] & 1) | ((s["ny"] & 1) << 1)
                    | ((s["nz"] & 1) << 2))
-            s["alo"] = jnp.where(did, _sel8(r, sub, 0), s["alo"])
-            s["ahi"] = jnp.where(did, _sel8(r, sub, 1), s["ahi"])
-            s["grp"] = jnp.where(did[:, None], r, s["grp"])
+            rs = [r[:, k] for k in range(16)]  # one strided unpack per fetch
+            s["alo"] = jnp.where(did, _sel8(rs, sub, 0), s["alo"])
+            s["ahi"] = jnp.where(did, _sel8(rs, sub, 1), s["ahi"])
+            for k in range(16):
+                s[f"g{k}"] = jnp.where(did, rs[k], s[f"g{k}"])
             s["gaddr"] = jnp.where(did, s["addr"], s["gaddr"])
         else:
             s["alo"] = jnp.where(did, r[:, 0], s["alo"])
@@ -248,15 +253,13 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
         cross_c = jnp.where(ssign > 0, crossed, crossed + 1)
         # ascend `a` levels: new node level L = lvl + a, capped at depth.
         # alignment in level-(lvl-1) cell units: each extra aligned base-4
-        # digit beyond the first allows one more level up.
+        # digit beyond the first allows one more level up. a = the number of
+        # trailing base-4 zero digits of cross_c>>2, via the branch-free
+        # ctz identity popcount((x & -x) - 1) (x=0 -> 32 -> capped anyway).
         cap = depth - lvl
-        a = jnp.zeros_like(lvl)
-        ok = jnp.ones_like(lvl, dtype=bool)
-        cur = cross_c >> 2
-        for _ in range(depth - 1):
-            ok = ok & ((cur & 3) == 0) & (a < cap)
-            a = a + ok.astype(I32)
-            cur = cur >> 2
+        cur = (cross_c >> 2).astype(U32)
+        ctz = jnp.bitwise_count((cur & (~cur + U32(1))) - U32(1)).astype(I32)
+        a = jnp.minimum(ctz >> 1, cap)
         newl = lvl + a
         # new node cell (level L) and local coords (level L-1) of position
         shift_node = 2 * (a + 1)
@@ -284,9 +287,10 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
             cache_hit = trans & (taddr == s["gaddr"])
             need = trans & ~cache_hit
             sub = ((tnx & 1) | ((tny & 1) << 1) | ((tnz & 1) << 2))
-            out["alo"] = jnp.where(cache_hit, _sel8(s["grp"], sub, 0),
+            gvecs = [s[f"g{k}"] for k in range(16)]
+            out["alo"] = jnp.where(cache_hit, _sel8(gvecs, sub, 0),
                                    s["alo"])
-            out["ahi"] = jnp.where(cache_hit, _sel8(s["grp"], sub, 1),
+            out["ahi"] = jnp.where(cache_hit, _sel8(gvecs, sub, 1),
                                    s["ahi"])
         else:
             taddr = node_addr(tlvl, tnx, tny, tnz)
@@ -312,7 +316,8 @@ def _make_stepper(pyr: BrickPyramid, ray, max_steps: int, count_stats: bool,
         out["face"] = jnp.where(stepping, nface, s["face"])
         out["hlvl"] = jnp.where(hit_now, lvl, s["hlvl"])
         out["it"] = s["it"] + live.astype(I32)
-        out["em"] = s["em"] + jnp.where(exit_node, a + 1, 0)
+        if count_stats:
+            out["em"] = s["em"] + jnp.where(exit_node, a + 1, 0)
         capped = out["it"] >= max_steps
         out["act"] = out["act"] & ~capped
         return out
@@ -380,7 +385,8 @@ def _init_state(pyr: BrickPyramid, n, act0, o3, s_lvl, start_cell, use_full,
         state["flo"] = zero_u
         state["fhi"] = zero_u
     if grouped:
-        state["grp"] = jnp.zeros((n, 16), U32)
+        for k in range(16):
+            state[f"g{k}"] = zero_u
         state["gaddr"] = jnp.full((n,), -1, I32)
     return state
 
@@ -552,7 +558,8 @@ def trace(pyr: BrickPyramid, ray_o, ray_d, max_steps: int = 512,
             sub["flo"] = zc
             sub["fhi"] = zc
         if grouped:
-            sub["grp"] = jnp.zeros((cap, 16), U32)
+            for k in range(16):
+                sub[f"g{k}"] = zc
             sub["gaddr"] = jnp.full((cap,), -1, I32)
         sres = finish(sub, sro, srd, srr, rounds[1:])
 

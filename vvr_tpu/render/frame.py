@@ -33,11 +33,34 @@ from vvr_tpu.ops import post as post_ops
 from vvr_tpu.ops import shade as shade_ops
 from vvr_tpu.ops import sky as sky_ops
 from vvr_tpu.ops.noise import snoise3
+from vvr_tpu.ops.jump import trace_jump
 from vvr_tpu.ops.traverse import trace
 from vvr_tpu.utils.hash import hash33
+from vvr_tpu.world.jumpgrid import JumpGrid
 
 F32 = jnp.float32
 I32 = jnp.int32
+
+
+def make_tracer(accel, cfg: RenderConfig):
+    """Uniform trace(o, d, ...) over either acceleration structure: the
+    flat jump grid (ops/jump.py) or the hierarchical brick pyramid
+    (ops/traverse.py). The jump kernel counts voxel sub-steps rather than
+    node steps, so its cap scales up (a 256^3 corner-to-corner flat ray
+    worst-cases ~770 sub-steps; jumps keep real rays far below)."""
+    if isinstance(accel, JumpGrid):
+        steps = cfg.traversal_max_steps * 8
+
+        def tr(o, d, active=None, pack_first=None, with_stats=False):
+            return trace_jump(accel, o, d, max_steps=steps, active=active,
+                              pack_first=pack_first, with_stats=with_stats)
+        return tr
+
+    def tr(o, d, active=None, pack_first=None, with_stats=False):
+        return trace(accel, o, d, max_steps=cfg.traversal_max_steps,
+                     active=active, pack_first=pack_first,
+                     with_stats=with_stats, use_full=False)
+    return tr
 
 
 def _norm(v):
@@ -55,11 +78,15 @@ def heatmap(x):
 
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
-                  lights=None):
-    """The megakernel as a wavefront (rays flat (N,3)). Returns
+                  lights=None, overlap_pyr=None):
+    """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
+    acceleration structure (BrickPyramid or JumpGrid — make_tracer
+    dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
+    estimator needs when the tracer runs on the jump grid. Returns
     (rgb (N,3), alpha (N,), first-hit debug dict)."""
     n = o.shape[0]
     size = pyr.size
+    tr = make_tracer(pyr, cfg)
     colour = jnp.ones((n, 3), F32)
     out_rgb = jnp.zeros((n, 3), F32)
     alpha = jnp.zeros((n,), F32)
@@ -73,8 +100,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
     for bounce in range(cfg.max_ray_iterations):
-        res = trace(pyr, o, d, max_steps=cfg.traversal_max_steps, active=active,
-                    with_stats=need_stats, use_full=False)
+        res = tr(o, d, active=active, with_stats=need_stats)
         hit = res.hit & active
         sgn = jnp.where(d >= 0, 1.0, -1.0)
         normal = shade_ops.get_face_normal(res.face, sgn)
@@ -117,7 +143,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         # "overlap": the planar overlap-query estimator (ops/overlap.py)
         if cfg.ambient_occlusion and cfg.ao_mode == "overlap":
             from vvr_tpu.ops.overlap import overlap_ao
-            ao = overlap_ao(pyr, world, normal, face)
+            ao = overlap_ao(overlap_pyr if overlap_pyr is not None else pyr,
+                            world, normal, face)
         elif cfg.ambient_occlusion and svt_density is not None:
             wtf = jnp.where(normal < 0, -2.0, normal)
             from vvr_tpu.world.svt import sample_density_trilinear
@@ -144,18 +171,16 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 strength = jnp.power(jnp.clip(
                     jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
-                s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                              active=shadow_active, pack_first=pack_cap,
-                              with_stats=False, use_full=False).hit
+                s_hit = tr(s_o, sdir, active=shadow_active,
+                           pack_first=pack_cap).hit
                 cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
                 shadow = shadow + jnp.where(
                     s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
         elif cfg.shadow_samples == 1:
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
-            s_hit = trace(pyr, s_o, sdir, max_steps=cfg.traversal_max_steps,
-                          active=shadow_active, pack_first=pack_cap,
-                          with_stats=False, use_full=False).hit
+            s_hit = tr(s_o, sdir, active=shadow_active,
+                       pack_first=pack_cap).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:
@@ -177,10 +202,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 dist_l = jnp.linalg.norm(to_pos, axis=-1)
                 near = shaded & (dist_l < 10.0)
                 ldir = to_pos / jnp.maximum(dist_l, 1e-6)[:, None]
-                lres = trace(pyr, jnp.broadcast_to(lp, (n, 3)), ldir,
-                             max_steps=cfg.traversal_max_steps, active=near,
-                             pack_first=max(n // 8, 2048) if n >= 4096 else None,
-                             with_stats=False, use_full=False)
+                lres = tr(jnp.broadcast_to(lp, (n, 3)), ldir, active=near,
+                          pack_first=max(n // 8, 2048) if n >= 4096 else None)
                 unshadowed = (lres.t + 0.1) > dist_l
                 n_dot_l = jnp.clip(jnp.sum(normal * (-ldir), -1), 0.0, 1.0)
                 s = jnp.clip(10.0 - dist_l, 0.0, 1.0)
@@ -233,16 +256,18 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
-                 lights=None):
+                 lights=None, overlap_pyr=None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
-    (render_h * render_w) camera rays. Returns (u8 image (H, W, 3),
+    (render_h * render_w) camera rays. `pyr` is either acceleration
+    structure (see make_tracer). Returns (u8 image (H, W, 3),
     hdr rgba (rh, rw, 4))."""
     rh, rw = cfg.render_height, cfg.render_width
     clouds_tex = sky_ops.write_clouds(sun[:3], time, cfg.clouds_resolution)
     skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
 
     rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
-                                    cfg, svt_density, mirror_materials, lights)
+                                    cfg, svt_density, mirror_materials, lights,
+                                    overlap_pyr)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         rgb = dbg_img.reshape(-1, 3)

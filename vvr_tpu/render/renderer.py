@@ -41,6 +41,9 @@ class Renderer:
         if dynamic_world:
             from vvr_tpu.world.bricks import build_svt
             self.svt = build_svt(self.scene.chunks, self.scene.size)
+        self.use_jump = render_cfg.use_jump(self.scene.size)
+        if self.use_jump:
+            self.scene.ensure_jumpgrid()
         self.stats = Statistics()
         self.frame_count = 0
         self.elapsed = 0.0
@@ -85,14 +88,18 @@ class Renderer:
         # animated point lights (renderer.rs:494-505)
         self.scene.animate_lights(camera.position, t, 1.0 / 60.0)
         o, d = camera_rays(camera, self.cfg.render_width, self.cfg.render_height)
+        accel = self.scene.jumpgrid if self.use_jump else self.scene.pyramid
+        needs_overlap = (self.cfg.ambient_occlusion
+                         and self.cfg.ao_mode == "overlap" and self.use_jump)
         t0 = _time.monotonic()
         img, _hdr = render_frame(
-            self.scene.pyramid, o, d, jax.numpy.asarray(self.sun),
+            accel, o, d, jax.numpy.asarray(self.sun),
             jax.numpy.float32(t), self.cfg,
             svt_density=self.scene.density if self.cfg.ambient_occlusion else None,
             mirror_materials=self.mirror_materials,
             lights=jax.numpy.asarray(self.scene.lights)
-            if self.cfg.point_lights else None)
+            if self.cfg.point_lights else None,
+            overlap_pyr=self.scene.pyramid if needs_overlap else None)
         return self._finish_frame(img, t0, timed, fetch)
 
     def _finish_frame(self, img, t0, timed: bool, fetch: bool):
@@ -137,6 +144,8 @@ class Renderer:
         """Device-buffer size report (the J-key gpu-allocator report analog,
         src/renderer.rs:451-454)."""
         rep = {"pyramid_rows_mb": self.scene.pyramid.rows.nbytes / 2 ** 20}
+        if self.scene.jumpgrid is not None:
+            rep["jumpgrid_rows_mb"] = self.scene.jumpgrid.rows.nbytes / 2 ** 20
         if self.scene.density is not None:
             rep["density_mb"] = self.scene.density.nbytes / 2 ** 20
         if self.svt is not None:

@@ -31,10 +31,19 @@ NUM_LIGHTS = 100  # src/renderer.rs:290
 class Scene:
     cfg: WorldConfig
     chunks: list
-    pyramid: BrickPyramid    # traversal structure (ops/traverse.py)
+    pyramid: BrickPyramid    # hierarchical traversal structure (ops/traverse.py)
     tree: SparseVoxelTree
     density: object          # jnp u8 (S,S,S) or None
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
+    jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
+
+    def ensure_jumpgrid(self):
+        """Build the jump grid lazily (needs the dense occupancy once)."""
+        if self.jumpgrid is None:
+            from vvr_tpu.world.jumpgrid import build_jump_grid
+            self.jumpgrid = build_jump_grid(
+                assemble_dense(self.chunks, self.cfg.size))
+        return self.jumpgrid
 
     @property
     def size(self) -> int:

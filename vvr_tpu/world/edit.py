@@ -21,7 +21,8 @@ from vvr_tpu.world.pyramid import BrickPyramid
 class WorldEditor:
     """Owns the mutable world: chunk bitsets + the device brick pyramid."""
 
-    def __init__(self, chunks: list[Chunk], pyramid: BrickPyramid):
+    def __init__(self, chunks: list[Chunk], pyramid: BrickPyramid,
+                 jumpgrid=None):
         self.pyramid = pyramid
         self.size = pyramid.size
         self.depth = pyramid.depth
@@ -35,6 +36,70 @@ class WorldEditor:
         for c in chunks:
             x, y, z = (int(v) * CHUNK_SIZE for v in c.position)
             self._occ[z:z + CHUNK_SIZE, y:y + CHUNK_SIZE, x:x + CHUNK_SIZE] = c.voxels
+        self.jumpgrid = None
+        if jumpgrid is not None:
+            self.attach_jump_grid(jumpgrid)
+
+    def attach_jump_grid(self, grid):
+        """Keep a JumpGrid (ops/jump.py's structure) in sync with edits.
+        Host mirrors of the superbrick occupancy and both distance fields
+        let row patches be assembled without device reads."""
+        from vvr_tpu.world import jumpgrid as jg
+        self.jumpgrid = grid
+        g = self.size // jg.SB
+        self._occ_sb = self._occ.reshape(
+            g, jg.SB, g, jg.SB, g, jg.SB).any(axis=(1, 3, 5))
+        self._jg_dist = jg.chebyshev_distance(self._occ_sb)
+        self._jg_odist = jg.octant_distances(self._occ_sb)
+
+    def _patch_jump_grid(self, positions: np.ndarray):
+        """Patch the jump grid for edited voxel positions (K, 3) x,y,z.
+
+        Occupancy/subcell words change only in the edited superbricks (one
+        row scatter). The distance fields depend only on WHICH superbricks
+        are non-empty, so they are recomputed (and their columns rewritten
+        device-wide) only when an edit flips a superbrick empty<->non-empty
+        — a solidify into empty space would otherwise leave stale, UNSAFE
+        jump radii elsewhere."""
+        from vvr_tpu.world import jumpgrid as jg
+        g = self.size // jg.SB
+        sbs = np.unique(positions >> 3, axis=0)        # (K, 3) x,y,z
+        k = len(sbs)
+        occ6 = self._occ.reshape(g, jg.SB, g, jg.SB, g, jg.SB).transpose(
+            0, 2, 4, 1, 3, 5)                          # (gz,gy,gx, lz,ly,lx)
+        regions = occ6[sbs[:, 2], sbs[:, 1], sbs[:, 0]]  # (K, lz,ly,lx)
+        vals = np.zeros((k, jg.ROW_WORDS), np.uint32)
+        # words[0:16]: word = 2*lz + (ly>>2), bit = lx + 8*(ly&3)
+        occw = regions.reshape(k, jg.SB, 2, 4, jg.SB).reshape(k, 512)
+        vals[:, :16] = np.packbits(occw, axis=1,
+                                   bitorder="little").view(np.uint32)
+        # words[17:19]: 4^3 subcell any, bit = cx | cy<<2 | cz<<4
+        sub = regions.reshape(k, 4, 2, 4, 2, 4, 2).any(axis=(2, 4, 6))
+        vals[:, 17:19] = np.packbits(sub.reshape(k, 64), axis=1,
+                                     bitorder="little").view(np.uint32)
+        new_sb = regions.any(axis=(1, 2, 3))
+        old_sb = self._occ_sb[sbs[:, 2], sbs[:, 1], sbs[:, 0]]
+        flipped = bool((new_sb != old_sb).any())
+        rows = self.jumpgrid.rows
+        if flipped:
+            self._occ_sb[sbs[:, 2], sbs[:, 1], sbs[:, 0]] = new_sb
+            self._jg_dist = jg.chebyshev_distance(self._occ_sb)
+            self._jg_odist = jg.octant_distances(self._occ_sb)
+        vals[:, 16] = self._jg_dist[sbs[:, 2], sbs[:, 1], sbs[:, 0]]
+        for oct_ in range(8):
+            vals[:, 24 + oct_] = self._jg_odist[
+                oct_, sbs[:, 2], sbs[:, 1], sbs[:, 0]]
+        idx = (sbs[:, 0] + sbs[:, 1] * g + sbs[:, 2] * g * g).astype(np.int32)
+        rows = rows.at[jnp.asarray(idx)].set(jnp.asarray(vals))
+        if flipped:
+            # rewrite the distance columns grid-wide (9 column scatters)
+            rows = rows.at[:, 16].set(
+                jnp.asarray(self._jg_dist.ravel().astype(np.uint32)))
+            for oct_ in range(8):
+                rows = rows.at[:, 24 + oct_].set(jnp.asarray(
+                    self._jg_odist[oct_].ravel().astype(np.uint32)))
+        from vvr_tpu.world.jumpgrid import JumpGrid
+        self.jumpgrid = JumpGrid(rows, self.size)
 
     def _node_row(self, level: int, cell: np.ndarray) -> int:
         g = max(self.size >> (2 * level), 1)
@@ -152,6 +217,8 @@ class WorldEditor:
         self.pyramid = BrickPyramid(
             new_rows, self.pyramid.depth, self.pyramid.bases,
             rows_grp=new_grp, gbases=self.pyramid.gbases)
+        if self.jumpgrid is not None:
+            self._patch_jump_grid(positions)
         return n_patched
 
     def occupancy(self) -> np.ndarray:

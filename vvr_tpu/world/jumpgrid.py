@@ -147,6 +147,58 @@ def pack_superbricks(occ: np.ndarray) -> np.ndarray:
     return packed.view(np.uint32)               # (g^3, 16)
 
 
+@jax.tree_util.register_pytree_node_class
+class JumpGrid2:
+    """Two-tier jump grid (ops/jump2.py): 16 B jump rows per 8^3 superbrick
+    + 8 B minibrick rows per 4^3 voxel region.
+
+    jrows (G^3, 4) u32, x-major, G = size // 8:
+      w0, w1: 4^3 subcell any-mask (subcell = 2^3 voxels, bit = cx|cy<<2|cz<<4)
+      w2    : 8 per-octant one-sided empty-box radii, 4 bits each (capped 15;
+              jumps chain when farther). 0 <=> superbrick non-empty.
+      w3    : chebyshev distance (diagnostics)
+    mrows (M^3, 2) u32, x-major, M = size // 4: 64-bit voxel occupancy of
+      each 4^3 minibrick (bit = x&3 | (y&3)<<2 | (z&3)<<4)."""
+
+    def __init__(self, jrows, mrows, size: int):
+        self.jrows = jrows
+        self.mrows = mrows
+        self.size = int(size)
+
+    @property
+    def gsize(self) -> int:
+        return self.size // SB
+
+    def tree_flatten(self):
+        return (self.jrows, self.mrows), (self.size,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+def build_jump_grid2(occ: np.ndarray) -> JumpGrid2:
+    """Build the two-tier grid from dense bool occupancy [z,y,x]."""
+    from vvr_tpu.world.pyramid import _pack_node_masks
+    occ = np.asarray(occ, bool)
+    size = occ.shape[0]
+    assert size % SB == 0, f"size {size} must be a multiple of {SB}"
+    g = size // SB
+    h = size // 2
+    occ2 = occ.reshape(h, 2, h, 2, h, 2).any(axis=(1, 3, 5))  # subcell any
+    jrows = np.zeros((g ** 3, 4), np.uint32)
+    jrows[:, 0:2] = _pack_node_masks(occ2)      # 4^3 subcells per superbrick
+    occ_sb = occ.reshape(g, SB, g, SB, g, SB).any(axis=(1, 3, 5))
+    odist = np.minimum(octant_distances(occ_sb), 15).astype(np.uint32)
+    packed = np.zeros((g, g, g), np.uint32)
+    for oct_ in range(8):
+        packed |= odist[oct_] << np.uint32(4 * oct_)
+    jrows[:, 2] = packed.ravel()
+    jrows[:, 3] = chebyshev_distance(occ_sb).ravel().astype(np.uint32)
+    mrows = _pack_node_masks(occ)               # (M^3, 2), M = size // 4
+    return JumpGrid2(jnp.asarray(jrows), jnp.asarray(mrows), size)
+
+
 def build_jump_grid(occ: np.ndarray) -> JumpGrid:
     """Build from dense bool occupancy [z,y,x]; size must be a multiple of 8."""
     occ = np.asarray(occ, bool)
