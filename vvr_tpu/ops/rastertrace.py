@@ -1,0 +1,325 @@
+"""Primary-ray visibility by exposed-face rasterization — object-order
+first hits.
+
+The per-ray DDA costs O(pixels x traversal steps) of VPU work; round-2
+profiling (PROGRESS.md cost model v2) showed that wall saturates the VPU at
+~2.3 Mrays/s regardless of acceleration structure. Primary rays from a
+pinhole camera admit an object-order flip: every first hit (from an
+empty-space origin) lies on an *exposed face* (world/faces.py), so
+first-hit visibility = depth-min rasterization of those faces. Cost:
+O(faces + covered fragments + pixels), ~100x less arithmetic at 256^3.
+
+Exactness contract (same bar as every traversal kernel in this repo —
+bit-equality with render/oracle.py on the test corpus):
+  * the fragment t is the oracle's own entry formula
+    (plane - o_axis) * (1/d_axis), with d recomputed per fragment by the
+    raygen formulas (identical op sequence => identical floats);
+  * per-pixel winners are resolved by scatter-min over the monotonic bit
+    pattern of positive f32 t (IEEE positive floats order as unsigned
+    ints);
+  * the winning face is RECONSTRUCTED per pixel from t alone: for each
+    axis, the candidate planes floor/ceil of o + d*t are re-evaluated
+    through the same t formula and matched bit-for-bit; t-ties across
+    axes resolve z > y > x, the oracle's step tie rule;
+  * rays whose origin is outside the volume miss (trace_shi rule,
+    shaders/ray_stuff_other.slang:424-437); a ray whose origin voxel is
+    solid hits at t=0 with face=0 (oracle start-in-solid semantics).
+
+Coverage uses floor(o_u + d_u * t) == face_u — the oracle's cell tracking
+is incremental, so agreement at voxel-edge-grazing rays is validated by
+the oracle-equality tests rather than proved; the same empirical bar the
+jump kernels' clipped landings meet.
+
+Faces are binned per frame by projected bounding box into fixed KxK
+fragment buckets (4/16/64), with bbox overflow routed upward and a
+dynamic-trip full-screen loop as the final safety net — every visible face
+is rasterized exactly once regardless of camera.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vvr_tpu.ops.traverse import BIG_T, TraceResult
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+AXIS_RANK = (2, 1, 0)  # x, y, z -> z wins ties (oracle z > y > x rule)
+
+
+def _ray_dir(i, j, cam, width: int, height: int):
+    """Per-pixel normalized direction — MUST mirror raygen.generate_rays
+    op-for-op so fragment floats equal the wavefront's d array."""
+    pos, right, up, forward, tan_half = cam
+    ratio = width / height
+    u = (i.astype(F32) + 0.5) / width * 2.0 - 1.0
+    v = 1.0 - (j.astype(F32) + 0.5) / height * 2.0
+    tx = tan_half
+    ty = tan_half / ratio
+    du = u[..., None] * tx * right
+    dv = v[..., None] * ty * up
+    d = forward + du + dv
+    from vvr_tpu.ops.raygen import normalize_dirs
+    return normalize_dirs(d)
+
+
+def _project_faces(fv, cam, width: int, height: int):
+    """Per-face visibility + conservative pixel bbox of the projected quad.
+    Returns (visible, behind, imin, imax, jmin, jmax)."""
+    vx, vy, vz, axis, sgn = fv
+    pos, right, up, forward, tan_half = cam
+    ratio = width / height
+    tx = tan_half
+    ty = tan_half / ratio
+    n = vx.shape[0]
+    plane = jnp.where(axis == 0, vx, jnp.where(axis == 1, vy, vz)) + sgn
+    o_a = jnp.where(axis == 0, pos[0], jnp.where(axis == 1, pos[1], pos[2]))
+    visible = jnp.where(sgn == 1, o_a > plane.astype(F32),
+                        o_a < plane.astype(F32))
+
+    # quad corners: plane coordinate on `axis`, (u, v+{0,1}) spans on others
+    base = jnp.stack([vx, vy, vz], -1).astype(F32)       # (N, 3)
+    pc = plane.astype(F32)
+    imin = jnp.full((n,), width, I32)
+    imax = jnp.full((n,), -1, I32)
+    jmin = jnp.full((n,), height, I32)
+    jmax = jnp.full((n,), -1, I32)
+    behind = jnp.zeros((n,), bool)
+    ax_is = [axis == 0, axis == 1, axis == 2]
+    for du_ in (0.0, 1.0):
+        for dv_ in (0.0, 1.0):
+            # corner coordinates: on `axis` -> plane; on the other two axes
+            # -> voxel coord + {0,1}: axis 0 spans (y+du, z+dv), axis 1
+            # spans (x+du, z+dv), axis 2 spans (x+du, y+dv)
+            cx = jnp.where(ax_is[0], pc, base[:, 0] + du_)
+            cy = jnp.where(ax_is[1], pc,
+                           base[:, 1] + jnp.where(ax_is[0], du_, dv_))
+            cz = jnp.where(ax_is[2], pc, base[:, 2] + dv_)
+            qx = cx - pos[0]
+            qy = cy - pos[1]
+            qz = cz - pos[2]
+            zc = qx * forward[0] + qy * forward[1] + qz * forward[2]
+            xc = qx * right[0] + qy * right[1] + qz * right[2]
+            yc = qx * up[0] + qy * up[1] + qz * up[2]
+            beh = zc <= 1e-6
+            behind = behind | beh
+            zs = jnp.maximum(zc, 1e-6)
+            su = xc / (zs * tx)
+            sv = yc / (zs * ty)
+            ic = (su + 1.0) * (width * 0.5) - 0.5
+            jc = (1.0 - sv) * (height * 0.5) - 0.5
+            imin = jnp.minimum(imin, jnp.floor(ic).astype(I32) - 1)
+            imax = jnp.maximum(imax, jnp.ceil(ic).astype(I32) + 1)
+            jmin = jnp.minimum(jmin, jnp.floor(jc).astype(I32) - 1)
+            jmax = jnp.maximum(jmax, jnp.ceil(jc).astype(I32) + 1)
+    onscreen = (imax >= 0) & (imin <= width - 1) & (jmax >= 0) \
+        & (jmin <= height - 1)
+    imin = jnp.clip(imin, 0, width - 1)
+    imax = jnp.clip(imax, 0, width - 1)
+    jmin = jnp.clip(jmin, 0, height - 1)
+    jmax = jnp.clip(jmax, 0, height - 1)
+    return visible, behind, onscreen, imin, imax, jmin, jmax
+
+
+def _fragment_scatter(tbuf, fsel, fv, geo, cam, width: int, height: int,
+                      k: int):
+    """Rasterize the selected faces with a k x k fragment grid each and
+    scatter-min their t bit patterns into tbuf (H*W,) u32."""
+    vx, vy, vz, axis, sgn = fv
+    valid_f, imin, jmin, imax, jmax = geo
+    pos = cam[0]
+    f_vx = vx[fsel][:, None]
+    f_vy = vy[fsel][:, None]
+    f_vz = vz[fsel][:, None]
+    f_ax = axis[fsel][:, None]
+    f_plane = (jnp.where(f_ax == 0, f_vx, jnp.where(f_ax == 1, f_vy, f_vz))
+               + sgn[fsel][:, None]).astype(F32)
+    f_imin = imin[fsel][:, None]
+    f_jmin = jmin[fsel][:, None]
+    f_imax = imax[fsel][:, None]
+    f_jmax = jmax[fsel][:, None]
+    f_ok = valid_f[:, None]
+
+    kk = jnp.arange(k * k, dtype=I32)[None, :]
+    i = f_imin + (kk % k)
+    j = f_jmin + (kk // k)
+    inside = f_ok & (i <= f_imax) & (j <= f_jmax)
+    d = _ray_dir(i, j, cam, width, height)                # (m, k*k, 3)
+    d_a = jnp.where(f_ax == 0, d[..., 0],
+                    jnp.where(f_ax == 1, d[..., 1], d[..., 2]))
+    o_a = jnp.where(f_ax == 0, pos[0],
+                    jnp.where(f_ax == 1, pos[1], pos[2]))
+    inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
+    t = (f_plane - o_a) * inv_a
+    # coverage on the two non-face axes (oracle cell-entry semantics)
+    hx = jnp.floor(pos[0] + d[..., 0] * t).astype(I32)
+    hy = jnp.floor(pos[1] + d[..., 1] * t).astype(I32)
+    hz = jnp.floor(pos[2] + d[..., 2] * t).astype(I32)
+    cov_u = jnp.where(f_ax == 0, hy == f_vy, hx == f_vx)
+    cov_v = jnp.where(f_ax == 2, hy == f_vy, hz == f_vz)
+    cover = inside & (t > 0.0) & cov_u & cov_v
+    tbits = _f32_bits(t)
+    pix = jnp.where(cover, j * width + i, width * height)
+    return tbuf.at[pix.reshape(-1)].min(
+        jnp.where(cover, tbits, SENTINEL).reshape(-1), mode="drop")
+
+
+def _f32_bits(t):
+    """Monotonic u32 key for positive f32 t."""
+    return jax.lax.bitcast_convert_type(t, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "width", "height",
+                                             "cap16", "cap64", "cap_screen"))
+def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
+                 height: int, cap16: int = 32768, cap64: int = 2048,
+                 cap_screen: int = 4096) -> TraceResult:
+    """First hits of the camera's H x W primary rays against the face set.
+
+    faces: tuple of device arrays (vx, vy, vz, axis, sgn), int32 (F,)
+    cam:   (pos(3,), right(3,), up(3,), forward(3,), tan_half) f32
+    d_rays: (H*W, 3) f32 — THE wavefront's own direction array (raygen
+            output). Fragments recompute d by formula (cheap, but XLA's
+            shape-dependent FMA contraction wobbles it ~1 ulp), so the
+            scatter key is approximate; the per-pixel reconstruction then
+            recomputes t/face/axis_coord from d_rays with the oracle's
+            exact formulas, matching the scattered winner within a 2-ulp
+            window. Outputs are therefore oracle-exact except when two
+            distinct real faces lie within 2 ulp of t of each other
+            (validated empirically by tests/test_raster_trace.py).
+    solid_probe: () bool — whether the camera's origin voxel is solid
+                 (start-in-solid rays hit at t=0, face=0)
+    Returns TraceResult over H*W rays (row-major, top-left first)."""
+    vx, vy, vz, axis, sgn = faces
+    pos = cam[0]
+    n_pix = width * height
+    f = vx.shape[0]
+    # trace_shi bounds rule: origin outside [0, size)^3 -> miss everything
+    inside = ((pos[0] >= 0) & (pos[0] < size) & (pos[1] >= 0)
+              & (pos[1] < size) & (pos[2] >= 0) & (pos[2] < size))
+
+    visible, behind, onscreen, imin, imax, jmin, jmax = _project_faces(
+        faces, cam, width, height)
+    w = imax - imin + 1
+    h = jmax - jmin + 1
+    big = jnp.maximum(w, h)
+    ok = visible & ~behind & onscreen
+
+    cls4 = ok & (big <= 4)
+    cls16 = ok & (big > 4) & (big <= 16)
+    cls64 = ok & (big > 16) & (big <= 64)
+    cls_scr = ok & (big > 64)
+
+    tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
+    fv = faces
+
+    # bucket 4: capacity F (never overflows)
+    sel4 = jnp.nonzero(cls4, size=f, fill_value=f)[0]
+    ok4 = sel4 < f
+    sel4 = jnp.minimum(sel4, f - 1)
+    tbuf = _fragment_scatter(tbuf, sel4, fv, (ok4, imin, jmin, imax, jmax),
+                             cam, width, height, 4)
+
+    # bucket 16 (+ overflow up)
+    sel16 = jnp.nonzero(cls16, size=cap16, fill_value=f)[0]
+    ok16 = sel16 < f
+    placed16 = jnp.zeros((f + 1,), bool).at[sel16].set(ok16, mode="drop")[:f]
+    over16 = cls16 & ~placed16
+    sel16 = jnp.minimum(sel16, f - 1)
+    tbuf = _fragment_scatter(tbuf, sel16, fv, (ok16, imin, jmin, imax, jmax),
+                             cam, width, height, 16)
+
+    cls64b = cls64 | over16
+    sel64 = jnp.nonzero(cls64b, size=cap64, fill_value=f)[0]
+    ok64 = sel64 < f
+    placed64 = jnp.zeros((f + 1,), bool).at[sel64].set(ok64, mode="drop")[:f]
+    over64 = cls64b & ~placed64
+    sel64 = jnp.minimum(sel64, f - 1)
+    tbuf = _fragment_scatter(tbuf, sel64, fv, (ok64, imin, jmin, imax, jmax),
+                             cam, width, height, 64)
+
+    # full-screen safety net: behind-camera, giant, and overflow faces —
+    # dynamic trip count, one face across all pixels per trip
+    cls_net = (cls_scr | over64 | (visible & behind))
+    seln = jnp.nonzero(cls_net, size=cap_screen, fill_value=f)[0]
+    n_net = jnp.sum(cls_net).astype(I32)
+    d_all = d_rays                                        # (n_pix, 3)
+
+    def net_body(c):
+        k, tb = c
+        fi = jnp.minimum(seln[jnp.minimum(k, cap_screen - 1)], f - 1)
+        ax = axis[fi]
+        plane = (jnp.where(ax == 0, vx[fi],
+                           jnp.where(ax == 1, vy[fi], vz[fi]))
+                 + sgn[fi]).astype(F32)
+        d_a = jnp.where(ax == 0, d_all[:, 0],
+                        jnp.where(ax == 1, d_all[:, 1], d_all[:, 2]))
+        o_a = jnp.where(ax == 0, pos[0],
+                        jnp.where(ax == 1, pos[1], pos[2]))
+        inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
+        t = (plane - o_a) * inv_a
+        hx = jnp.floor(pos[0] + d_all[:, 0] * t).astype(I32)
+        hy = jnp.floor(pos[1] + d_all[:, 1] * t).astype(I32)
+        hz = jnp.floor(pos[2] + d_all[:, 2] * t).astype(I32)
+        cov_u = jnp.where(ax == 0, hy == vy[fi], hx == vx[fi])
+        cov_v = jnp.where(ax == 2, hy == vy[fi], hz == vz[fi])
+        cover = (t > 0.0) & cov_u & cov_v
+        newt = jnp.where(cover, _f32_bits(t), SENTINEL)
+        tb = tb.at[:n_pix].min(newt)
+        return k + 1, tb
+
+    _, tbuf = jax.lax.while_loop(lambda c: c[0] < n_net, net_body,
+                                 (jnp.int32(0), tbuf))
+
+    # ---- per-pixel winner reconstruction (exact formulas on d_rays) ----
+    tbits = tbuf[:n_pix]
+    hit = tbits != SENTINEL
+    t_approx = jax.lax.bitcast_convert_type(tbits, F32)
+    hpos = pos[None, :] + d_all * t_approx[:, None]       # (n_pix, 3)
+    face = jnp.zeros((n_pix,), I32)
+    axis_coord = jnp.zeros((n_pix,), I32)
+    t_out = jnp.full((n_pix,), BIG_T, F32)
+    best_rank = jnp.full((n_pix,), 99, I32)
+    for a in range(3):
+        d_a = d_all[:, a]
+        inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
+        k0 = jnp.floor(hpos[:, a]).astype(I32)
+        for kc in (0, 1):
+            plane = (k0 + kc).astype(F32)
+            ta = (plane - pos[a]) * inv_a
+            # within the scattered winner's ulp window (fragment-d FMA
+            # wobble propagates ~3 ulps through inv+mul), prefer smaller
+            # exact t, then the z > y > x step tie rule
+            window = jnp.abs(_f32_bits(ta).astype(jnp.int32)
+                             - tbits.astype(jnp.int32)) <= 8
+            better = (ta < t_out) | ((ta == t_out)
+                                     & (AXIS_RANK[a] < best_rank))
+            match = hit & window & (ta > 0.0) & better
+            vc = jnp.where(d_a > 0, k0 + kc, k0 + kc - 1)
+            face = jnp.where(match, a, face)
+            axis_coord = jnp.where(match, vc, axis_coord)
+            t_out = jnp.where(match, ta, t_out)
+            best_rank = jnp.where(match, AXIS_RANK[a], best_rank)
+
+    # start-in-solid: oracle hits at t=0, face=0, axis_coord = cell_x
+    # (cell = clip(floor(o)) like the oracle's init)
+    cell0 = jnp.clip(jnp.floor(pos).astype(I32), 0, size - 1)
+    sp = solid_probe & inside
+    face = jnp.where(sp, 0, face)
+    axis_coord = jnp.where(sp, cell0[0], axis_coord)
+    t_out = jnp.where(sp, 0.0, t_out)
+    hit = (hit | sp) & inside
+    t_out = jnp.where(hit, t_out, F32(BIG_T))
+
+    zero = jnp.zeros((n_pix,), I32)
+    return TraceResult(hit=hit, face=face,
+                       axis_coord=jnp.where(hit, axis_coord, 0),
+                       t=t_out, iterations=zero, fetches=zero,
+                       missed_pops=zero)

@@ -22,6 +22,18 @@ from vvr_tpu.utils.camera import Camera, horizontal_to_vertical
 F32 = jnp.float32
 
 
+def normalize_dirs(d):
+    """Normalize (..., 3) directions with a FIXED op sequence.
+
+    jnp.linalg.norm lowers shape-dependently (a (H,W,3) and a (N,3) norm
+    differ by 1 ulp on ~5% of rows), which breaks the bit-equality contract
+    between the wavefront's d array and per-fragment recomputation in
+    ops/rastertrace.py. Every ray-direction producer must use THIS."""
+    n = jnp.sqrt(d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]
+                 + d[..., 2] * d[..., 2])
+    return d / n[..., None]
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def generate_rays(position, right, up, forward, tan_half_h, width: int, height: int):
     """Returns (o, d): ((H*W, 3), (H*W, 3)) f32, row-major top-left first."""
@@ -33,7 +45,7 @@ def generate_rays(position, right, up, forward, tan_half_h, width: int, height: 
     du = u[None, :, None] * tx * right[None, None, :]
     dv = v[:, None, None] * ty * up[None, None, :]
     d = forward[None, None, :] + du + dv
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = normalize_dirs(d)
     d = d.reshape(-1, 3)
     o = jnp.broadcast_to(position, d.shape)
     return o, d

@@ -121,6 +121,20 @@ def _sel8(g, sub, off):
     return jnp.where((sub & 4) == 0, d0, d1)
 
 
+def solid_at(pyr: BrickPyramid, p):
+    """Occupancy of the voxel containing position p ((..., 3) f32/int) —
+    one level-1 node-row gather + bit test (level-1 any bits ARE voxels)."""
+    size = pyr.size
+    v = jnp.clip(jnp.floor(jnp.asarray(p, F32)).astype(I32), 0, size - 1)
+    g = size >> 2
+    nx, ny, nz = v[..., 0] >> 2, v[..., 1] >> 2, v[..., 2] >> 2
+    addr = I32(pyr.bases[1]) + nx + ny * g + nz * g * g
+    row = jnp.take(pyr.rows_any, addr, axis=0, mode="clip")
+    bit = ((v[..., 0] & 3) | ((v[..., 1] & 3) << 2)
+           | ((v[..., 2] & 3) << 4)).astype(I32)
+    return _bit64(row[..., 0], row[..., 1], bit)
+
+
 def _addr_fns(pyr: BrickPyramid):
     """(node_addr, group_addr) closures over static pyramid metadata."""
     depth = pyr.depth
