@@ -119,6 +119,31 @@ def test_jump_traversal_frame_matches_pyramid(small_world, pyr):
     np.testing.assert_array_equal(hdr_j, hdr_p)
 
 
+def test_raster_primary_frame_matches_dda(small_world, pyr):
+    """The rasterized-primary frame must be pixel-identical to the DDA
+    frame: bounce-0 visibility is oracle-exact either way, and shading
+    consumes only hit/face/axis_coord."""
+    import jax.numpy as jnp2
+    from vvr_tpu.ops.traverse import solid_at
+    from vvr_tpu.world.faces import extract_faces
+    _, _, occ = small_world
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img_dda, hdr_dda = _render(pyr, cam)
+
+    fs = extract_faces(occ)
+    faces = tuple(jnp2.asarray(a) for a in (fs.vx, fs.vy, fs.vz, fs.axis,
+                                            fs.sgn))
+    right, up, forward = cam.basis()
+    tan_half = np.float32(np.tan(np.radians(cam.fov) / 2.0))
+    rcam = (jnp2.asarray(cam.position, np.float32),
+            jnp2.asarray(right, np.float32), jnp2.asarray(up, np.float32),
+            jnp2.asarray(forward, np.float32), jnp2.float32(tan_half))
+    probe = solid_at(pyr, jnp2.asarray(cam.position, np.float32))
+    img_r, hdr_r = _render(pyr, cam, raster=(faces, rcam, probe))
+    np.testing.assert_array_equal(img_r, img_dda)
+    np.testing.assert_array_equal(hdr_r, hdr_dda)
+
+
 def test_mirror_materials_bounce(pyr):
     cfg = RenderConfig(**{**SMALL_CFG.__dict__, "max_ray_iterations": 3})
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)

@@ -115,6 +115,42 @@ def main():
                           pack_first=(n * 3) // 4, with_stats=False)
         return res.t.sum() + sres.t.sum()
 
+    if "--raster" in sys.argv:
+        from vvr_tpu.ops.rastertrace import trace_raster
+        from vvr_tpu.ops.traverse import solid_at
+        from vvr_tpu.world.faces import extract_faces
+        fset = extract_faces(occ)
+        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
+                                            fset.axis, fset.sgn))
+        right, up, fwd = cam.basis()
+        th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
+        ct = (jnp.asarray(cam.position, jnp.float32),
+              jnp.asarray(right, jnp.float32), jnp.asarray(up, jnp.float32),
+              jnp.asarray(fwd, jnp.float32), jnp.float32(th))
+        probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+        print(json.dumps({"faces": len(fset)}), flush=True)
+
+        def raster_only():
+            res = trace_raster(fd, ct, d, probe, 256, 1920, 1080)
+            return res.t.sum()
+
+        def raster_flagship():
+            res = trace_raster(fd, ct, d, probe, 256, 1920, 1080)
+            hit = res.hit
+            w = o + d * jnp.where(hit, res.t, 0.0)[:, None]
+            s_o = w + sun[None, :] * 0.05
+            sdir = jnp.broadcast_to(sun, (n, 3))
+            sres = trace_jump(grid, s_o, sdir, max_steps=2048, active=hit,
+                              pack_first=(n * 3) // 4, with_stats=False)
+            return res.t.sum() + sres.t.sum()
+
+        ms, mrays = bench(jax.jit(raster_only))
+        print(json.dumps({"kernel": "raster_primary_only", "ms": ms,
+                          "mrays_both": mrays}), flush=True)
+        ms, mrays = bench(jax.jit(raster_flagship))
+        print(json.dumps({"kernel": "raster+jumpshadow", "ms": ms,
+                          "mrays": mrays}), flush=True)
+
     if "--mix" in sys.argv:
         fm = jax.jit(flagship_mix)
         ms, mrays = bench(fm)

@@ -40,7 +40,24 @@ def run(kind: str, frame: bool):
     sun = jnp.asarray(np.array([-0.28, 0.65, -0.71], np.float32))
     sun = sun / jnp.linalg.norm(sun)
 
-    if kind == "jump":
+    if kind == "raster":
+        from vvr_tpu.ops.rastertrace import trace_raster
+        from vvr_tpu.ops.traverse import solid_at
+        from vvr_tpu.world.faces import extract_faces
+        fset = extract_faces(occ)
+        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
+                                            fset.axis, fset.sgn))
+        right, up, fwd = cam.basis()
+        th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
+        ct = (jnp.asarray(cam.position, jnp.float32),
+              jnp.asarray(right, jnp.float32), jnp.asarray(up, jnp.float32),
+              jnp.asarray(fwd, jnp.float32), jnp.float32(th))
+        pyr2 = build_brick_pyramid(occ)
+        probe = solid_at(pyr2, jnp.asarray(cam.position, jnp.float32))
+
+        def one():
+            return trace_raster(fd, ct, d, probe, 256, 1920, 1080).t.sum()
+    elif kind == "jump":
         acc = build_jump_grid(occ)
 
         def one():
@@ -119,6 +136,7 @@ def analyze(trace_dir: str):
 
 
 if __name__ == "__main__":
-    kind = "jump" if "jump" in sys.argv else "pyramid"
+    kind = next((a for a in sys.argv[1:] if not a.startswith("-")),
+                "pyramid")
     td = run(kind, "--frame" in sys.argv)
     analyze(td)

@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="acceleration structure: flat jump grid (ops/jump) "
                         "or hierarchical brick pyramid (ops/traverse); "
                         "auto picks jump up to 320^3 worlds")
+    p.add_argument("--primary-raster", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="rasterized primary visibility (exposed-face "
+                        "depth-min, ops/rastertrace); auto = on for the "
+                        "main view")
     return p
 
 
@@ -104,6 +109,7 @@ def main(argv=None) -> int:
         bloom_enabled=not args.no_bloom,
         point_lights=args.point_lights,
         traversal=args.traversal,
+        primary_raster=args.primary_raster,
     )
 
     r = Renderer(world_cfg, render_cfg, force_regenerate=args.force_regenerate,

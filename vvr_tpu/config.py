@@ -80,6 +80,12 @@ class RenderConfig:
                                     # regime (<= 64K superbricks, i.e.
                                     # size <= 320 — PROGRESS.md microbench),
                                     # pyramid beyond
+    primary_raster: str = "auto"    # primary-ray visibility via the
+                                    # exposed-face rasterizer
+                                    # (ops/rastertrace.py): "auto" = on for
+                                    # the main view (debug heatmaps need
+                                    # the DDA's traversal counters),
+                                    # "on" / "off" force it
     # Sky resources (reference: src/skybox.rs:43-45)
     skybox_resolution: int = 256
     clouds_resolution: int = 512

@@ -91,7 +91,8 @@ def _project_faces(fv, cam, width: int, height: int):
     imax = jnp.full((n,), -1, I32)
     jmin = jnp.full((n,), height, I32)
     jmax = jnp.full((n,), -1, I32)
-    behind = jnp.zeros((n,), bool)
+    some_behind = jnp.zeros((n,), bool)
+    all_behind = jnp.ones((n,), bool)
     ax_is = [axis == 0, axis == 1, axis == 2]
     for du_ in (0.0, 1.0):
         for dv_ in (0.0, 1.0):
@@ -109,66 +110,34 @@ def _project_faces(fv, cam, width: int, height: int):
             xc = qx * right[0] + qy * right[1] + qz * right[2]
             yc = qx * up[0] + qy * up[1] + qz * up[2]
             beh = zc <= 1e-6
-            behind = behind | beh
+            some_behind = some_behind | beh
+            all_behind = all_behind & beh
             zs = jnp.maximum(zc, 1e-6)
             su = xc / (zs * tx)
             sv = yc / (zs * ty)
             ic = (su + 1.0) * (width * 0.5) - 0.5
             jc = (1.0 - sv) * (height * 0.5) - 0.5
-            imin = jnp.minimum(imin, jnp.floor(ic).astype(I32) - 1)
-            imax = jnp.maximum(imax, jnp.ceil(ic).astype(I32) + 1)
-            jmin = jnp.minimum(jmin, jnp.floor(jc).astype(I32) - 1)
-            jmax = jnp.maximum(jmax, jnp.ceil(jc).astype(I32) + 1)
+            # sub-pixel conservative margin (fragments are the cost unit:
+            # a whole-pixel margin doubled small faces' area)
+            imin = jnp.minimum(imin, jnp.floor(ic - 0.01).astype(I32))
+            imax = jnp.maximum(imax, jnp.ceil(ic + 0.01).astype(I32))
+            jmin = jnp.minimum(jmin, jnp.floor(jc - 0.01).astype(I32))
+            jmax = jnp.maximum(jmax, jnp.ceil(jc + 0.01).astype(I32))
     onscreen = (imax >= 0) & (imin <= width - 1) & (jmax >= 0) \
         & (jmin <= height - 1)
     imin = jnp.clip(imin, 0, width - 1)
     imax = jnp.clip(imax, 0, width - 1)
     jmin = jnp.clip(jmin, 0, height - 1)
     jmax = jnp.clip(jmax, 0, height - 1)
-    return visible, behind, onscreen, imin, imax, jmin, jmax
+    # a face whose corners ALL lie behind the camera plane cannot contain
+    # any point o + t*d with t > 0 (every in-FOV d has positive forward
+    # component) — geometrically invisible. Straddling faces can't be
+    # bboxed and go to the full-screen net.
+    straddle = some_behind & ~all_behind
+    return visible & ~all_behind, straddle, onscreen, imin, imax, jmin, jmax
 
 
-def _fragment_scatter(tbuf, fsel, fv, geo, cam, width: int, height: int,
-                      k: int):
-    """Rasterize the selected faces with a k x k fragment grid each and
-    scatter-min their t bit patterns into tbuf (H*W,) u32."""
-    vx, vy, vz, axis, sgn = fv
-    valid_f, imin, jmin, imax, jmax = geo
-    pos = cam[0]
-    f_vx = vx[fsel][:, None]
-    f_vy = vy[fsel][:, None]
-    f_vz = vz[fsel][:, None]
-    f_ax = axis[fsel][:, None]
-    f_plane = (jnp.where(f_ax == 0, f_vx, jnp.where(f_ax == 1, f_vy, f_vz))
-               + sgn[fsel][:, None]).astype(F32)
-    f_imin = imin[fsel][:, None]
-    f_jmin = jmin[fsel][:, None]
-    f_imax = imax[fsel][:, None]
-    f_jmax = jmax[fsel][:, None]
-    f_ok = valid_f[:, None]
-
-    kk = jnp.arange(k * k, dtype=I32)[None, :]
-    i = f_imin + (kk % k)
-    j = f_jmin + (kk // k)
-    inside = f_ok & (i <= f_imax) & (j <= f_jmax)
-    d = _ray_dir(i, j, cam, width, height)                # (m, k*k, 3)
-    d_a = jnp.where(f_ax == 0, d[..., 0],
-                    jnp.where(f_ax == 1, d[..., 1], d[..., 2]))
-    o_a = jnp.where(f_ax == 0, pos[0],
-                    jnp.where(f_ax == 1, pos[1], pos[2]))
-    inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
-    t = (f_plane - o_a) * inv_a
-    # coverage on the two non-face axes (oracle cell-entry semantics)
-    hx = jnp.floor(pos[0] + d[..., 0] * t).astype(I32)
-    hy = jnp.floor(pos[1] + d[..., 1] * t).astype(I32)
-    hz = jnp.floor(pos[2] + d[..., 2] * t).astype(I32)
-    cov_u = jnp.where(f_ax == 0, hy == f_vy, hx == f_vx)
-    cov_v = jnp.where(f_ax == 2, hy == f_vy, hz == f_vz)
-    cover = inside & (t > 0.0) & cov_u & cov_v
-    tbits = _f32_bits(t)
-    pix = jnp.where(cover, j * width + i, width * height)
-    return tbuf.at[pix.reshape(-1)].min(
-        jnp.where(cover, tbits, SENTINEL).reshape(-1), mode="drop")
+TK = 4  # tile edge in pixels; fragments per entry = TK*TK
 
 
 def _f32_bits(t):
@@ -177,9 +146,9 @@ def _f32_bits(t):
 
 
 @functools.partial(jax.jit, static_argnames=("size", "width", "height",
-                                             "cap16", "cap64", "cap_screen"))
+                                             "cap_entries", "cap_screen"))
 def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
-                 height: int, cap16: int = 32768, cap64: int = 2048,
+                 height: int, cap_entries: int = 1 << 20,
                  cap_screen: int = 4096) -> TraceResult:
     """First hits of the camera's H x W primary rays against the face set.
 
@@ -190,12 +159,22 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
             shape-dependent FMA contraction wobbles it ~1 ulp), so the
             scatter key is approximate; the per-pixel reconstruction then
             recomputes t/face/axis_coord from d_rays with the oracle's
-            exact formulas, matching the scattered winner within a 2-ulp
+            exact formulas, matching the scattered winner within an ulp
             window. Outputs are therefore oracle-exact except when two
-            distinct real faces lie within 2 ulp of t of each other
+            distinct real faces lie within that window of each other
             (validated empirically by tests/test_raster_trace.py).
     solid_probe: () bool — whether the camera's origin voxel is solid
                  (start-in-solid rays hit at t=0, face=0)
+
+    Fragment generation is tile-exact (scatter elements are the cost unit,
+    ~10 ns each — tools/profile_trace.py): each visible face emits
+    ceil(w/TK)*ceil(h/TK) tile entries via an exclusive-scan allocation
+    whose face ids propagate through a cumulative max (no dynamic shapes),
+    and each entry rasterizes a TK x TK pixel tile. Faces that overflow
+    cap_entries (allocation is prefix-ordered) or straddle the camera
+    plane fall back to a dynamic-trip full-screen loop — every visible
+    face is rasterized exactly once regardless of camera.
+
     Returns TraceResult over H*W rays (row-major, top-left first)."""
     vx, vy, vz, axis, sgn = faces
     pos = cam[0]
@@ -205,51 +184,87 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     inside = ((pos[0] >= 0) & (pos[0] < size) & (pos[1] >= 0)
               & (pos[1] < size) & (pos[2] >= 0) & (pos[2] < size))
 
-    visible, behind, onscreen, imin, imax, jmin, jmax = _project_faces(
+    visible, straddle, onscreen, imin, imax, jmin, jmax = _project_faces(
         faces, cam, width, height)
-    w = imax - imin + 1
-    h = jmax - jmin + 1
-    big = jnp.maximum(w, h)
-    ok = visible & ~behind & onscreen
-
-    cls4 = ok & (big <= 4)
-    cls16 = ok & (big > 4) & (big <= 16)
-    cls64 = ok & (big > 16) & (big <= 64)
-    cls_scr = ok & (big > 64)
+    ok = visible & ~straddle & onscreen
 
     tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
-    fv = faces
 
-    # bucket 4: capacity F (never overflows)
-    sel4 = jnp.nonzero(cls4, size=f, fill_value=f)[0]
-    ok4 = sel4 < f
-    sel4 = jnp.minimum(sel4, f - 1)
-    tbuf = _fragment_scatter(tbuf, sel4, fv, (ok4, imin, jmin, imax, jmax),
-                             cam, width, height, 4)
+    # ---- tile-entry allocation ----
+    tw = (imax - imin) // TK + 1
+    th_ = (jmax - jmin) // TK + 1
+    cnt = jnp.where(ok, tw * th_, 0)
+    off = jnp.cumsum(cnt) - cnt                            # exclusive scan
+    placed = ok & (off + cnt <= cap_entries)
+    over_cap = ok & ~placed
+    total = jnp.max(jnp.where(placed, off + cnt, 0)).astype(I32)
 
-    # bucket 16 (+ overflow up)
-    sel16 = jnp.nonzero(cls16, size=cap16, fill_value=f)[0]
-    ok16 = sel16 < f
-    placed16 = jnp.zeros((f + 1,), bool).at[sel16].set(ok16, mode="drop")[:f]
-    over16 = cls16 & ~placed16
-    sel16 = jnp.minimum(sel16, f - 1)
-    tbuf = _fragment_scatter(tbuf, sel16, fv, (ok16, imin, jmin, imax, jmax),
-                             cam, width, height, 16)
+    idx_f = jnp.arange(f, dtype=I32)
+    starts = jnp.zeros((cap_entries,), I32).at[
+        jnp.where(placed & (cnt > 0), off, cap_entries)].max(
+        idx_f, mode="drop")
+    ent_face = jax.lax.cummax(starts)                      # (cap_entries,)
 
-    cls64b = cls64 | over16
-    sel64 = jnp.nonzero(cls64b, size=cap64, fill_value=f)[0]
-    ok64 = sel64 < f
-    placed64 = jnp.zeros((f + 1,), bool).at[sel64].set(ok64, mode="drop")[:f]
-    over64 = cls64b & ~placed64
-    sel64 = jnp.minimum(sel64, f - 1)
-    tbuf = _fragment_scatter(tbuf, sel64, fv, (ok64, imin, jmin, imax, jmax),
-                             cam, width, height, 64)
+    # per-entry face data: one gather from a packed (F, 10) i32 table
+    ftab = jnp.stack([imin, jmin, imax, jmax, tw, off,
+                      vx, vy, vz, axis * 2 + sgn], axis=1)
 
-    # full-screen safety net: behind-camera, giant, and overflow faces —
+    # process entries in dynamic-trip chunks so the cost scales with the
+    # camera's actual entry count, not the static capacity
+    CH = min(cap_entries, 1 << 17)
+    q = jnp.arange(TK * TK, dtype=I32)[None, :]
+
+    def chunk_body(c):
+        start, tb = c
+        ek = start + jnp.arange(CH, dtype=I32)
+        ent_ok = ek < total
+        fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
+        row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
+                       mode="clip")                        # (CH, 10)
+        li = ek - row[:, 5]
+        base_i = row[:, 0] + TK * (li % jnp.maximum(row[:, 4], 1))
+        base_j = row[:, 1] + TK * (li // jnp.maximum(row[:, 4], 1))
+        e_ax = row[:, 9] >> 1
+        e_sgn = row[:, 9] & 1
+        e_vx, e_vy, e_vz = row[:, 6], row[:, 7], row[:, 8]
+        e_plane = (jnp.where(e_ax == 0, e_vx,
+                             jnp.where(e_ax == 1, e_vy, e_vz))
+                   + e_sgn).astype(F32)
+        i = base_i[:, None] + (q % TK)
+        j = base_j[:, None] + (q // TK)
+        ins = (ent_ok[:, None] & (i <= row[:, 2][:, None])
+               & (j <= row[:, 3][:, None]))
+        d = _ray_dir(i, j, cam, width, height)             # (CH, TK*TK, 3)
+        ax2 = e_ax[:, None]
+        d_a = jnp.where(ax2 == 0, d[..., 0],
+                        jnp.where(ax2 == 1, d[..., 1], d[..., 2]))
+        o_a = jnp.where(ax2 == 0, pos[0],
+                        jnp.where(ax2 == 1, pos[1], pos[2]))
+        inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
+        t = (e_plane[:, None] - o_a) * inv_a
+        hx = jnp.floor(pos[0] + d[..., 0] * t).astype(I32)
+        hy = jnp.floor(pos[1] + d[..., 1] * t).astype(I32)
+        hz = jnp.floor(pos[2] + d[..., 2] * t).astype(I32)
+        cov_u = jnp.where(ax2 == 0, hy == e_vy[:, None],
+                          hx == e_vx[:, None])
+        cov_v = jnp.where(ax2 == 2, hy == e_vy[:, None],
+                          hz == e_vz[:, None])
+        cover = ins & (t > 0.0) & cov_u & cov_v
+        # uncovered fragments index out of bounds -> dropped, not written
+        pix = jnp.where(cover, j * width + i, n_pix + 1)
+        tb = tb.at[pix.reshape(-1)].min(
+            jnp.where(cover, _f32_bits(t), SENTINEL).reshape(-1),
+            mode="drop")
+        return start + CH, tb
+
+    _, tbuf = jax.lax.while_loop(lambda c: c[0] < total, chunk_body,
+                                 (jnp.int32(0), tbuf))
+
+    # full-screen safety net: straddling + allocation-overflow faces —
     # dynamic trip count, one face across all pixels per trip
-    cls_net = (cls_scr | over64 | (visible & behind))
+    cls_net = (visible & straddle) | over_cap
     seln = jnp.nonzero(cls_net, size=cap_screen, fill_value=f)[0]
-    n_net = jnp.sum(cls_net).astype(I32)
+    n_net = jnp.minimum(jnp.sum(cls_net), cap_screen).astype(I32)
     d_all = d_rays                                        # (n_pix, 3)
 
     def net_body(c):

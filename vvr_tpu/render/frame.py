@@ -78,12 +78,15 @@ def heatmap(x):
 
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
-                  lights=None, overlap_pyr=None):
+                  lights=None, overlap_pyr=None, raster=None):
     """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
     acceleration structure (BrickPyramid or JumpGrid — make_tracer
     dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
-    estimator needs when the tracer runs on the jump grid. Returns
-    (rgb (N,3), alpha (N,), first-hit debug dict)."""
+    estimator needs when the tracer runs on the jump grid; `raster`
+    (faces, cam, probe) switches bounce-0 visibility to the exposed-face
+    rasterizer (ops/rastertrace.py) — rays must then be the unmasked
+    camera wavefront. Returns (rgb (N,3), alpha (N,), first-hit debug
+    dict)."""
     n = o.shape[0]
     size = pyr.size
     tr = make_tracer(pyr, cfg)
@@ -100,7 +103,13 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
     for bounce in range(cfg.max_ray_iterations):
-        res = tr(o, d, active=active, with_stats=need_stats)
+        if bounce == 0 and raster is not None:
+            from vvr_tpu.ops.rastertrace import trace_raster
+            faces, rcam, probe = raster
+            res = trace_raster(faces, rcam, d, probe, size,
+                               cfg.render_width, cfg.render_height)
+        else:
+            res = tr(o, d, active=active, with_stats=need_stats)
         hit = res.hit & active
         sgn = jnp.where(d >= 0, 1.0, -1.0)
         normal = shade_ops.get_face_normal(res.face, sgn)
@@ -256,18 +265,19 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
-                 lights=None, overlap_pyr=None):
+                 lights=None, overlap_pyr=None, raster=None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. `pyr` is either acceleration
-    structure (see make_tracer). Returns (u8 image (H, W, 3),
-    hdr rgba (rh, rw, 4))."""
+    structure (see make_tracer); `raster` optionally supplies
+    (faces, cam, probe) for rasterized primary visibility. Returns
+    (u8 image (H, W, 3), hdr rgba (rh, rw, 4))."""
     rh, rw = cfg.render_height, cfg.render_width
     clouds_tex = sky_ops.write_clouds(sun[:3], time, cfg.clouds_resolution)
     skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
 
     rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
                                     cfg, svt_density, mirror_materials, lights,
-                                    overlap_pyr)
+                                    overlap_pyr, raster)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         rgb = dbg_img.reshape(-1, 3)

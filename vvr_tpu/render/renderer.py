@@ -44,6 +44,13 @@ class Renderer:
         self.use_jump = render_cfg.use_jump(self.scene.size)
         if self.use_jump:
             self.scene.ensure_jumpgrid()
+        # rasterized primary visibility: on for the main view (debug
+        # heatmaps need the DDA's traversal counters)
+        self.use_raster = (render_cfg.primary_raster == "on"
+                           or (render_cfg.primary_raster == "auto"
+                               and render_cfg.debug_type == 6))
+        if self.use_raster:
+            self.scene.ensure_faces()
         self.stats = Statistics()
         self.frame_count = 0
         self.elapsed = 0.0
@@ -91,6 +98,19 @@ class Renderer:
         accel = self.scene.jumpgrid if self.use_jump else self.scene.pyramid
         needs_overlap = (self.cfg.ambient_occlusion
                          and self.cfg.ao_mode == "overlap" and self.use_jump)
+        raster = None
+        if self.use_raster:
+            from vvr_tpu.ops.traverse import solid_at
+            right, up, forward = camera.basis()
+            tan_half = np.float32(np.tan(np.radians(camera.fov) / 2.0))
+            rcam = (jax.numpy.asarray(camera.position, np.float32),
+                    jax.numpy.asarray(right, np.float32),
+                    jax.numpy.asarray(up, np.float32),
+                    jax.numpy.asarray(forward, np.float32),
+                    jax.numpy.float32(tan_half))
+            probe = solid_at(self.scene.pyramid,
+                             jax.numpy.asarray(camera.position, np.float32))
+            raster = (self.scene.faces, rcam, probe)
         t0 = _time.monotonic()
         img, _hdr = render_frame(
             accel, o, d, jax.numpy.asarray(self.sun),
@@ -99,7 +119,8 @@ class Renderer:
             mirror_materials=self.mirror_materials,
             lights=jax.numpy.asarray(self.scene.lights)
             if self.cfg.point_lights else None,
-            overlap_pyr=self.scene.pyramid if needs_overlap else None)
+            overlap_pyr=self.scene.pyramid if needs_overlap else None,
+            raster=raster)
         return self._finish_frame(img, t0, timed, fetch)
 
     def _finish_frame(self, img, t0, timed: bool, fetch: bool):

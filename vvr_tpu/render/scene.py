@@ -36,6 +36,7 @@ class Scene:
     density: object          # jnp u8 (S,S,S) or None
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
     jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
+    faces: object = None     # device face arrays for ops/rastertrace.py
 
     def ensure_jumpgrid(self):
         """Build the jump grid lazily (needs the dense occupancy once)."""
@@ -44,6 +45,16 @@ class Scene:
             self.jumpgrid = build_jump_grid(
                 assemble_dense(self.chunks, self.cfg.size))
         return self.jumpgrid
+
+    def ensure_faces(self):
+        """Exposed-face arrays for the primary-ray rasterizer."""
+        if self.faces is None:
+            import jax.numpy as jnp
+            from vvr_tpu.world.faces import extract_faces
+            fs = extract_faces(assemble_dense(self.chunks, self.cfg.size))
+            self.faces = tuple(jnp.asarray(a) for a in
+                               (fs.vx, fs.vy, fs.vz, fs.axis, fs.sgn))
+        return self.faces
 
     @property
     def size(self) -> int:
