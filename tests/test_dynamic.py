@@ -173,6 +173,27 @@ def test_edits_update_jump_grid():
         np.asarray(ed.jumpgrid.rows))
 
 
+def test_edits_update_faces():
+    """Edits keep the attached exposed-face set equal to a fresh build,
+    and the rasterizer sees carved holes."""
+    from vvr_tpu.world.faces import extract_faces
+
+    occ = np.zeros((64, 64, 64), bool)
+    occ[10, :, :] = True
+    chunks = [Chunk([0, 0, 0], occ).rebuild()]
+    ed = WorldEditor(chunks, build_brick_pyramid(occ))
+    ed.attach_faces()
+    ed.set_voxels(np.array([[31, 31, 10], [31, 32, 10]]), solid=False)
+    fresh = extract_faces(ed.occupancy())
+    assert len(ed.faces[0]) == len(fresh.vx)
+    got = np.stack([np.asarray(a) for a in ed.faces], 1)
+    want = np.stack([fresh.vx, fresh.vy, fresh.vz, fresh.axis, fresh.sgn], 1)
+    # same face multiset (order may differ)
+    got = got[np.lexsort(got.T)]
+    want = want[np.lexsort(want.T)]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_edit_full_and_empty_transitions():
     occ = np.ones((16, 16, 16), bool)
     chunks = []  # chunk granularity is 64; 16^3 world has no chunk list

@@ -44,7 +44,7 @@ def main():
                       "rows_mib": round(grid.rows.nbytes / 2**20, 1)}),
           flush=True)
 
-    if "--survivors" in sys.argv:
+    if "--survivors" in sys.argv and "--shadow-tune" not in sys.argv:
         for groups in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
             res = trace_jump(grid, o, d, max_steps=groups * 6,
                              with_stats=True, compact=False)
@@ -150,6 +150,82 @@ def main():
         ms, mrays = bench(jax.jit(raster_flagship))
         print(json.dumps({"kernel": "raster+jumpshadow", "ms": ms,
                           "mrays": mrays}), flush=True)
+
+    if "--shadow-tune" in sys.argv:
+        # primary hits via the (cheap) rasterizer, then sweep the shadow
+        # trace: kernel x (fe, p1, cascade, pack cap)
+        from vvr_tpu.ops.rastertrace import trace_raster
+        from vvr_tpu.ops.traverse import solid_at
+        from vvr_tpu.world.faces import extract_faces
+        fset = extract_faces(occ)
+        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
+                                            fset.axis, fset.sgn))
+        right, up, fwd = cam.basis()
+        th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
+        ct = (jnp.asarray(cam.position, jnp.float32),
+              jnp.asarray(right, jnp.float32), jnp.asarray(up, jnp.float32),
+              jnp.asarray(fwd, jnp.float32), jnp.float32(th))
+        probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+        res = trace_raster(fd, ct, d, probe, 256, 1920, 1080)
+        hit = jax.block_until_ready(res.hit)
+        w = o + d * jnp.where(hit, res.t, 0.0)[:, None]
+        s_o = jax.block_until_ready(w + sun[None, :] * 0.05)
+        sdir = jnp.broadcast_to(sun, (n, 3))
+        nhit = int(np.asarray(hit).sum())
+        print(json.dumps({"shadow_lanes": nhit, "frac": round(nhit / n, 3)}),
+              flush=True)
+
+        if "--survivors" in sys.argv:
+            for groups in (1, 2, 3, 4, 6, 8, 12):
+                r2 = trace_jump(grid, s_o, sdir, max_steps=groups * 6,
+                                active=hit, with_stats=True, compact=False)
+                unresolved = int(np.asarray(
+                    (~r2.hit & hit
+                     & (r2.iterations >= groups * 6 - 5)).sum()))
+                print(json.dumps({"groups": groups,
+                                  "active_frac_of_hits":
+                                      round(unresolved / max(nhit, 1), 4)}),
+                      flush=True)
+            return
+
+        def sj(pack_num, pack_den, fe, p1, cascade):
+            r2 = trace_jump(grid, s_o, sdir, max_steps=2048, active=hit,
+                            pack_first=(n * pack_num) // pack_den,
+                            with_stats=False, fetch_every=fe,
+                            phase1_groups=p1, cascade=cascade)
+            return r2.t.sum()
+
+        def sp(pack_num, pack_den, fe, p1):
+            r2 = trace(pyr, s_o, sdir, max_steps=256, active=hit,
+                       pack_first=(n * pack_num) // pack_den,
+                       with_stats=False, use_full=False, fetch_every=fe,
+                       phase1_groups=p1)
+            return r2.t.sum()
+
+        fj_ = jax.jit(sj, static_argnums=(0, 1, 2, 3, 4))
+        fp_ = jax.jit(sp, static_argnums=(0, 1, 2, 3))
+        for args in ((17, 20, 6, 6, None),
+                     (17, 20, 6, 3, ((1, 6, 1), (1, 40, 3), (1, 200, 0))),
+                     (17, 20, 6, 4, ((1, 25, 2), (1, 100, 0))),
+                     (17, 20, 6, 2, ((1, 4, 1), (1, 25, 2), (1, 100, 0))),
+                     (9, 10, 6, 3, ((1, 6, 1), (1, 40, 3), (1, 200, 0))),
+                     (17, 20, 4, 5, ((1, 20, 3), (1, 100, 0)))):
+            try:
+                ms, _ = bench(fj_, *args)
+                print(json.dumps({"kernel": "jump", "args": args, "ms": ms}),
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"args": args, "error": str(e)[:160]}),
+                      flush=True)
+        for args in ((17, 20, 4, 10), (17, 20, 4, 6)):
+            try:
+                ms, _ = bench(fp_, *args)
+                print(json.dumps({"kernel": "pyr", "args": args, "ms": ms}),
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"args": args, "error": str(e)[:160]}),
+                      flush=True)
+        return
 
     if "--mix" in sys.argv:
         fm = jax.jit(flagship_mix)

@@ -37,8 +37,25 @@ class WorldEditor:
             x, y, z = (int(v) * CHUNK_SIZE for v in c.position)
             self._occ[z:z + CHUNK_SIZE, y:y + CHUNK_SIZE, x:x + CHUNK_SIZE] = c.voxels
         self.jumpgrid = None
+        self.faces = None      # device face tuple (ops/rastertrace.py)
         if jumpgrid is not None:
             self.attach_jump_grid(jumpgrid)
+
+    def attach_faces(self, faces=None):
+        """Keep the exposed-face arrays (primary-ray rasterizer input) in
+        sync with edits. Rebuilt in full per edit batch: extraction is a
+        handful of vectorized shifts over the occupancy (fine for
+        interactive brushes; a per-superbrick incremental patch would need
+        variable-length device arrays)."""
+        self.faces = faces if faces is not None else self._build_faces()
+        return self.faces
+
+    def _build_faces(self):
+        import jax.numpy as jnp
+        from vvr_tpu.world.faces import extract_faces
+        fs = extract_faces(self._occ)
+        return tuple(jnp.asarray(a) for a in (fs.vx, fs.vy, fs.vz,
+                                              fs.axis, fs.sgn))
 
     def attach_jump_grid(self, grid):
         """Keep a JumpGrid (ops/jump.py's structure) in sync with edits.
@@ -219,6 +236,8 @@ class WorldEditor:
             rows_grp=new_grp, gbases=self.pyramid.gbases)
         if self.jumpgrid is not None:
             self._patch_jump_grid(positions)
+        if self.faces is not None:
+            self.faces = self._build_faces()
         return n_patched
 
     def occupancy(self) -> np.ndarray:
