@@ -33,7 +33,7 @@ from vvr_tpu.ops import post as post_ops
 from vvr_tpu.ops import shade as shade_ops
 from vvr_tpu.ops import sky as sky_ops
 from vvr_tpu.ops.noise import snoise3
-from vvr_tpu.ops.jump import trace_jump
+from vvr_tpu.ops.jump import SHADOW_CASCADE, SHADOW_PHASE1, trace_jump
 from vvr_tpu.ops.traverse import trace
 from vvr_tpu.utils.hash import hash33
 from vvr_tpu.world.jumpgrid import JumpGrid
@@ -51,12 +51,20 @@ def make_tracer(accel, cfg: RenderConfig):
     if isinstance(accel, JumpGrid):
         steps = cfg.traversal_max_steps * 8
 
-        def tr(o, d, active=None, pack_first=None, with_stats=False):
-            return trace_jump(accel, o, d, max_steps=steps, active=active,
-                              pack_first=pack_first, with_stats=with_stats)
+        def tr(o, d, active=None, pack_first=None, with_stats=False,
+               shadow=False):
+            # sun-aligned shadow batches resolve on a steep survivor curve;
+            # the shadow-tuned compaction schedule is ~1.7x faster there
+            # (and ~1.4x SLOWER for primaries — keep them separate)
+            return trace_jump(
+                accel, o, d, max_steps=steps, active=active,
+                pack_first=pack_first, with_stats=with_stats,
+                phase1_groups=SHADOW_PHASE1 if shadow else 6,
+                cascade=SHADOW_CASCADE if shadow else None)
         return tr
 
-    def tr(o, d, active=None, pack_first=None, with_stats=False):
+    def tr(o, d, active=None, pack_first=None, with_stats=False,
+           shadow=False):
         return trace(accel, o, d, max_steps=cfg.traversal_max_steps,
                      active=active, pack_first=pack_first,
                      with_stats=with_stats, use_full=False)
@@ -170,8 +178,10 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         # multiplies by max(n.l, 0), so n.l <= 0 lanes never need the trace
         sun_facing = jnp.sum(normal * sun3[None, :], -1) > 0.0
         shadow_active = shaded & sun_facing
-        # front-pack them so misses/backfaces don't pay the traversal gathers
-        pack_cap = max((n * 3) // 4, 2048) if n >= 4096 else None
+        # front-pack them so misses/backfaces don't pay the traversal
+        # gathers (cap 0.9n: terrain cameras reach ~80% hit fraction and a
+        # cap overflow sends the excess to the full-width safety net)
+        pack_cap = max((n * 9) // 10, 2048) if n >= 4096 else None
         if cfg.shadow_samples > 1:
             shadow = jnp.zeros((n,), F32)
             for s in range(cfg.shadow_samples):
@@ -181,7 +191,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                     jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
                 s_hit = tr(s_o, sdir, active=shadow_active,
-                           pack_first=pack_cap).hit
+                           pack_first=pack_cap, shadow=True).hit
                 cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
                 shadow = shadow + jnp.where(
                     s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
@@ -189,7 +199,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
             s_hit = tr(s_o, sdir, active=shadow_active,
-                       pack_first=pack_cap).hit
+                       pack_first=pack_cap, shadow=True).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:
