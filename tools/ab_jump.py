@@ -151,6 +151,83 @@ def main():
         print(json.dumps({"kernel": "raster+jumpshadow", "ms": ms,
                           "mrays": mrays}), flush=True)
 
+    if "--sunmask" in sys.argv:
+        from vvr_tpu.ops.jump import SHADOW_CASCADE, SHADOW_PHASE1
+        from vvr_tpu.ops.rastertrace import trace_raster
+        from vvr_tpu.ops.sunshadow import (build_sun_grids,
+                                           masked_shadow_hits, sun_basis)
+        from vvr_tpu.ops.traverse import solid_at
+        from vvr_tpu.world.faces import extract_faces
+        fset = extract_faces(occ)
+        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
+                                            fset.axis, fset.sgn))
+        right, up, fwd = cam.basis()
+        th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
+        ct = (jnp.asarray(cam.position, jnp.float32),
+              jnp.asarray(right, jnp.float32), jnp.asarray(up, jnp.float32),
+              jnp.asarray(fwd, jnp.float32), jnp.float32(th))
+        probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+        res = trace_raster(fd, ct, d, probe, 256, 1920, 1080)
+        hit = jax.block_until_ready(res.hit)
+        s_o = jax.block_until_ready(
+            o + d * jnp.where(hit, res.t, 0.0)[:, None] + sun[None, :] * .05)
+
+        e1, e2, s_ = sun_basis(np.asarray(sun))
+        e1j, e2j = jnp.asarray(e1), jnp.asarray(e2)
+        t0 = time.monotonic()
+        grids = jax.block_until_ready(build_sun_grids(fd, e1j, e2j,
+                                                      jnp.asarray(s_), 256))
+        print(json.dumps({"grid_build_ms":
+                          round((time.monotonic() - t0) * 1e3, 1)}),
+              flush=True)
+        t0 = time.monotonic()
+        grids = jax.block_until_ready(build_sun_grids(fd, e1j, e2j,
+                                                      jnp.asarray(s_), 256))
+        print(json.dumps({"grid_build_warm_ms":
+                          round((time.monotonic() - t0) * 1e3, 1)}),
+              flush=True)
+
+        def tr(o_, d_, active=None, pack_first=None, with_stats=False,
+               shadow=False):
+            return trace_jump(grid, o_, d_, max_steps=2048, active=active,
+                              pack_first=pack_first, with_stats=with_stats,
+                              phase1_groups=SHADOW_PHASE1 if shadow else 6,
+                              cascade=SHADOW_CASCADE if shadow else None)
+
+        from vvr_tpu.ops.sunshadow import LIFT, classify, near_occlusion
+        hn, cln, exi, bad = near_occlusion(grid.rows, s_o, sun, hit, 256)
+        cs, cl = classify(s_o + sun[None, :] * LIFT, e1j, e2j, sun,
+                          grids, 256)
+        kh = hit & (hn | cs)
+        km = hit & ~kh & ((cln & cl) | exi)
+        amb = hit & ~kh & ~km
+        stats = {k: int(np.asarray(v).sum()) for k, v in
+                 (("shadow_lanes", hit), ("near_hit", hn), ("clean", cln),
+                  ("exited", exi), ("near_bad", bad), ("cs", cs),
+                  ("cl", cl), ("known_hit", kh), ("known_miss", km),
+                  ("ambiguous", amb))}
+        print(json.dumps(stats), flush=True)
+
+        def masked():
+            return masked_shadow_hits(tr, grid.rows, s_o, sun, e1j, e2j,
+                                      grids, hit, 256,
+                                      n // 10).sum()
+
+        def pure():
+            return tr(s_o, jnp.broadcast_to(sun, (n, 3)), active=hit,
+                      pack_first=(n * 9) // 10, shadow=True).hit.sum()
+
+        a = int(np.asarray(jax.jit(masked)()))
+        b = int(np.asarray(jax.jit(pure)()))
+        print(json.dumps({"masked_hits": a, "pure_hits": b,
+                          "equal": a == b}), flush=True)
+        ms, _ = bench(jax.jit(masked))
+        print(json.dumps({"kernel": "shadow_masked", "ms": ms}), flush=True)
+        ms, _ = bench(jax.jit(pure))
+        print(json.dumps({"kernel": "shadow_pure_dda", "ms": ms}),
+              flush=True)
+        return
+
     if "--shadow-tune" in sys.argv:
         # primary hits via the (cheap) rasterizer, then sweep the shadow
         # trace: kernel x (fe, p1, cascade, pack cap)

@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rasterized primary visibility (exposed-face "
                         "depth-min, ops/rastertrace); auto = on for the "
                         "main view")
+    p.add_argument("--sun-mask", choices=("auto", "off"), default="auto",
+                   help="conservative sun-space occlusion classifier for "
+                        "hard shadows (ops/sunshadow)")
     return p
 
 
@@ -110,6 +113,7 @@ def main(argv=None) -> int:
         point_lights=args.point_lights,
         traversal=args.traversal,
         primary_raster=args.primary_raster,
+        sun_mask=args.sun_mask,
     )
 
     r = Renderer(world_cfg, render_cfg, force_regenerate=args.force_regenerate,

@@ -86,6 +86,13 @@ class RenderConfig:
                                     # the main view (debug heatmaps need
                                     # the DDA's traversal counters),
                                     # "on" / "off" force it
+    sun_mask: str = "auto"          # conservative sun-space occlusion
+                                    # classifier for hard shadows
+                                    # (ops/sunshadow.py): "auto" = on when
+                                    # shadow_samples == 1 and the jump
+                                    # grid is active (soft shadows jitter
+                                    # the direction, breaking the shared-
+                                    # projection assumption); "off"
     # Sky resources (reference: src/skybox.rs:43-45)
     skybox_resolution: int = 256
     clouds_resolution: int = 512

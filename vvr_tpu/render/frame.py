@@ -86,7 +86,7 @@ def heatmap(x):
 
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
-                  lights=None, overlap_pyr=None, raster=None):
+                  lights=None, overlap_pyr=None, raster=None, sunmask=None):
     """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
     acceleration structure (BrickPyramid or JumpGrid — make_tracer
     dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
@@ -198,8 +198,16 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         elif cfg.shadow_samples == 1:
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
-            s_hit = tr(s_o, sdir, active=shadow_active,
-                       pack_first=pack_cap, shadow=True).hit
+            if sunmask is not None and isinstance(pyr, JumpGrid):
+                from vvr_tpu.ops.sunshadow import masked_shadow_hits
+                sm_e1, sm_e2, sm_grids = sunmask
+                s_hit = masked_shadow_hits(
+                    tr, pyr.rows, s_o, sun3, sm_e1, sm_e2, sm_grids,
+                    shadow_active, size,
+                    max(n // 10, 2048) if n >= 4096 else None)
+            else:
+                s_hit = tr(s_o, sdir, active=shadow_active,
+                           pack_first=pack_cap, shadow=True).hit
             cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:
@@ -275,7 +283,7 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
-                 lights=None, overlap_pyr=None, raster=None):
+                 lights=None, overlap_pyr=None, raster=None, sunmask=None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. `pyr` is either acceleration
     structure (see make_tracer); `raster` optionally supplies
@@ -287,7 +295,7 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
 
     rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
                                     cfg, svt_density, mirror_materials, lights,
-                                    overlap_pyr, raster)
+                                    overlap_pyr, raster, sunmask)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         rgb = dbg_img.reshape(-1, 3)

@@ -51,6 +51,13 @@ class Renderer:
                                and render_cfg.debug_type == 6))
         if self.use_raster:
             self.scene.ensure_faces()
+        # sun-space occlusion classifier: hard shadows + jump grid only
+        self.use_sunmask = (render_cfg.sun_mask != "off"
+                            and render_cfg.shadow_samples == 1
+                            and self.use_jump)
+        self._sunmask_cache = None  # (sun_bytes, (e1, e2, grids))
+        if self.use_sunmask:
+            self.scene.ensure_faces()
         self.stats = Statistics()
         self.frame_count = 0
         self.elapsed = 0.0
@@ -111,6 +118,7 @@ class Renderer:
             probe = solid_at(self.scene.pyramid,
                              jax.numpy.asarray(camera.position, np.float32))
             raster = (self.scene.faces, rcam, probe)
+        sunmask = self._sunmask() if self.use_sunmask else None
         t0 = _time.monotonic()
         img, _hdr = render_frame(
             accel, o, d, jax.numpy.asarray(self.sun),
@@ -120,8 +128,22 @@ class Renderer:
             lights=jax.numpy.asarray(self.scene.lights)
             if self.cfg.point_lights else None,
             overlap_pyr=self.scene.pyramid if needs_overlap else None,
-            raster=raster)
+            raster=raster, sunmask=sunmask)
         return self._finish_frame(img, t0, timed, fetch)
+
+    def _sunmask(self):
+        """Conservative sun-space occlusion grids, rebuilt when the sun
+        direction changes (middle-mouse / --sun; ops/sunshadow.py)."""
+        key = self.sun[:3].tobytes()
+        if self._sunmask_cache is None or self._sunmask_cache[0] != key:
+            from vvr_tpu.ops.sunshadow import build_sun_grids, sun_basis
+            e1, e2, s = sun_basis(self.sun[:3])
+            e1j = jax.numpy.asarray(e1)
+            e2j = jax.numpy.asarray(e2)
+            grids = build_sun_grids(self.scene.ensure_faces(), e1j, e2j,
+                                    jax.numpy.asarray(s), self.scene.size)
+            self._sunmask_cache = (key, (e1j, e2j, grids))
+        return self._sunmask_cache[1]
 
     def _finish_frame(self, img, t0, timed: bool, fetch: bool):
         if timed:
