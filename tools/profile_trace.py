@@ -40,7 +40,19 @@ def run(kind: str, frame: bool):
     sun = jnp.asarray(np.array([-0.28, 0.65, -0.71], np.float32))
     sun = sun / jnp.linalg.norm(sun)
 
-    if kind == "raster":
+    if kind == "frame":
+        from vvr_tpu.config import RenderConfig
+        from vvr_tpu.render.renderer import Renderer
+        rcfg = RenderConfig(width=1920, height=1080, shadow_samples=1,
+                            max_ray_iterations=3)
+        r = Renderer(wcfg, rcfg)
+
+        class _F:
+            def __call__(self):
+                img = r.render(cam, time=0.0)
+                return img[-1, -1]
+        one = _F()
+    elif kind == "raster":
         from vvr_tpu.ops.rastertrace import trace_raster
         from vvr_tpu.ops.traverse import solid_at
         from vvr_tpu.world.faces import extract_faces
@@ -79,7 +91,7 @@ def run(kind: str, frame: bool):
                          with_stats=False, use_full=False)
             return res.t.sum() + sres.t.sum()
 
-    f = jax.jit(one)
+    f = one if kind == "frame" else jax.jit(one)
     np.asarray(f())  # compile + warm
     t0 = time.monotonic()
     np.asarray(f())

@@ -198,7 +198,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
 
     _, gridB, gridC = jax.lax.while_loop(
         lambda c: c[0] < total, chunk_body, (jnp.int32(0), gridB, gridC))
-    return gridB[:grid * grid], gridC[:grid * grid], a0, b0, ts
+    # interleave as one (G^2, 2) table: classify then needs ONE 8 B row
+    # gather instead of two 4 B gathers (measured 50 ms at 2M lanes)
+    gBC = jnp.stack([gridB[:grid * grid], gridC[:grid * grid]], axis=1)
+    return gBC, a0, b0, ts
 
 
 LIFT = 1.6  # voxels along the sun cleared exactly by near_occlusion
@@ -344,6 +347,9 @@ def masked_shadow_hits(tr, jump_rows, s_o, sun3, e1, e2, grids,
     known_miss = shadow_active & ~known_hit & ((clean & cl) | exited)
     amb = shadow_active & ~known_hit & ~known_miss
     sdir = jnp2.broadcast_to(sun3, s_o.shape)
+    # measured on the bench scene: the shadow-tuned schedule stays faster
+    # for the ambiguous residue than the default cascade (353 vs 387 ms
+    # for the whole masked pass)
     dda_hit = tr(s_o, sdir, active=amb, pack_first=pack_cap,
                  shadow=True).hit
     return jnp2.where(known_hit, True,
@@ -355,7 +361,7 @@ def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     """(certain_shadow, certain_light) for ray starts `points` (N, 3)
     toward the sun. Out-of-world starts are never `certain` — the DDA's
     origin-outside rule (miss) applies and the fallback path handles it."""
-    gridB, gridC, a0, b0, ts = grids
+    gBC, a0, b0, ts = grids
     inw = jnp.all((points >= 0) & (points < size), axis=-1)
     qa = points @ e1
     qb = points @ e2
@@ -364,8 +370,9 @@ def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     j = jnp.floor((qb - b0) / ts).astype(I32)
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
-    zB = jnp.take(gridB, tex, mode="clip")
-    zC = jnp.take(gridC, tex, mode="clip")
+    row = jnp.take(gBC, tex, axis=0, mode="clip")
+    zB = row[:, 0]
+    zC = row[:, 1]
     certain_shadow = inb & (qz < zB - SAFE)
     certain_light = inb & (qz > zC + SAFE)
     return certain_shadow, certain_light

@@ -8,7 +8,12 @@ collectives in the hot loop; XLA inserts only the trivial all-reduce for the
 while_loop's all-rays-done predicate, which rides ICI.
 
 Shadow samples could additionally be sharded (an 'sp'-style axis) — provided
-as `mesh_2d` for N>=4 meshes; the default is 1D DP."""
+as `mesh_2d` for N>=4 meshes; the default is 1D DP.
+
+The sharded frame uses the ray-order kernels (raster=None): the exposed-face
+rasterizer scatters into the whole image, which under ray-DP would need a
+cross-shard scatter; per-shard rasterization of the pixel band is a possible
+extension (bbox-clip faces per band), not needed for the parity bar."""
 
 from __future__ import annotations
 
