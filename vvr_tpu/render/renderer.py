@@ -25,6 +25,24 @@ log = logging.getLogger(__name__)
 
 DEFAULT_SUN = np.array([-0.28, 0.65, -0.71, 0.0], np.float32)
 
+def _call_jit_selfhealing(fn, *args, **kwargs):
+    """jax 0.9 workaround: after the raster-debug jits (render/raster.py)
+    have run, the pjit fast path can serve a render_frame call with a
+    STALE pruned-argument list from another function's cache entry
+    ("Execution supplied 15 buffers but compiled program expected 25" —
+    reproduced deterministically; the supplied count matches
+    _shade_raster's leaf count). jax.clear_caches() + retry recovers; the
+    recompile only happens when the bug actually fires."""
+    try:
+        return fn(*args, **kwargs)
+    except ValueError as e:
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        log.warning("pjit fast-path corruption detected (%s); clearing "
+                    "jax caches and retrying", str(e)[:80])
+        jax.clear_caches()
+        return fn(*args, **kwargs)
+
 
 class Renderer:
     def __init__(self, world_cfg: WorldConfig, render_cfg: RenderConfig,
@@ -120,7 +138,8 @@ class Renderer:
             raster = (self.scene.faces, rcam, probe)
         sunmask = self._sunmask() if self.use_sunmask else None
         t0 = _time.monotonic()
-        img, _hdr = render_frame(
+        img, _hdr = _call_jit_selfhealing(
+            render_frame,
             accel, o, d, jax.numpy.asarray(self.sun),
             jax.numpy.float32(t), self.cfg,
             svt_density=self.scene.density if self.cfg.ambient_occlusion else None,

@@ -38,6 +38,18 @@ class Scene:
     jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
     faces: object = None     # device face arrays for ops/rastertrace.py
 
+    def ensure_tree(self):
+        """Build the reference-layout SVO buffers lazily (a parity /
+        checkpoint artifact — the render path never reads it, and the
+        flatten measurably stalls under the remote-TPU tunnel env)."""
+        if self.tree is None:
+            occ_pyr = build_pyramid_from_chunks(self.chunks, self.cfg.size)
+            self.tree = flatten_tree(
+                occ_pyr, bounds_pyramid_from_chunks(self.chunks,
+                                                    self.cfg.size))
+            log.info("tree: %s", self.tree.metrics)
+        return self.tree
+
     def ensure_jumpgrid(self):
         """Build the jump grid lazily (needs the dense occupancy once)."""
         if self.jumpgrid is None:
@@ -80,7 +92,7 @@ class Scene:
 
 def build_scene(cfg: WorldConfig, force_regenerate: bool = False,
                 cache_path=None, with_density: bool = True,
-                with_tree: bool = True) -> Scene:
+                with_tree: bool = False) -> Scene:
     """create_sparse_structures analog (src/voxel.rs:20-125): load the cached
     world or generate + cache it, then build device structures."""
     path = cache_path or cache_mod.default_cache_path(cfg.size)
