@@ -3,10 +3,24 @@ backend is the 'fake device' for sharding tests; bench runs on real TPU)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon remote-TPU plugin registers itself from sitecustomize at
+# interpreter start — BEFORE this file runs — so env mutation here is too
+# late to stop the registration (and its tunnel is single-client: a test
+# run on it would steal the chip from a concurrent benchmark). Backend
+# *initialization* is lazy though, so forcing the platform through
+# jax.config before any device is touched reliably lands the suite on the
+# 8-device virtual CPU mesh. Launching with the env prefix
+# `PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu` additionally skips the
+# plugin's 40-180 s tunnel handshake stall.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -173,9 +173,29 @@ def test_edits_update_jump_grid():
         np.asarray(ed.jumpgrid.rows))
 
 
+def _expand_unit(vx, vy, vz, axis, sgn, eu, ev):
+    """Expand merged face rectangles into their covered unit faces."""
+    rows = []
+    for i in range(len(vx)):
+        us, vs = np.meshgrid(np.arange(eu[i]), np.arange(ev[i]),
+                             indexing="ij")
+        us, vs = us.ravel(), vs.ravel()
+        if axis[i] == 0:
+            x, y, z = np.full_like(us, vx[i]), vy[i] + us, vz[i] + vs
+        elif axis[i] == 1:
+            x, y, z = vx[i] + us, np.full_like(us, vy[i]), vz[i] + vs
+        else:
+            x, y, z = vx[i] + us, vy[i] + vs, np.full_like(us, vz[i])
+        rows.append(np.stack(
+            [x, y, z, np.full_like(us, axis[i]), np.full_like(us, sgn[i])],
+            1))
+    return np.concatenate(rows) if rows else np.zeros((0, 5), np.int64)
+
+
 def test_edits_update_faces():
-    """Edits keep the attached exposed-face set equal to a fresh build,
-    and the rasterizer sees carved holes."""
+    """Edits keep the attached exposed-face set equal to a fresh build
+    (merged rectangles cover exactly the fresh unit-face multiset), and
+    the rasterizer sees carved holes."""
     from vvr_tpu.world.faces import extract_faces
 
     occ = np.zeros((64, 64, 64), bool)
@@ -185,10 +205,11 @@ def test_edits_update_faces():
     ed.attach_faces()
     ed.set_voxels(np.array([[31, 31, 10], [31, 32, 10]]), solid=False)
     fresh = extract_faces(ed.occupancy())
-    assert len(ed.faces[0]) == len(fresh.vx)
-    got = np.stack([np.asarray(a) for a in ed.faces], 1)
-    want = np.stack([fresh.vx, fresh.vy, fresh.vz, fresh.axis, fresh.sgn], 1)
-    # same face multiset (order may differ)
+    got = _expand_unit(*(np.asarray(a) for a in ed.faces))
+    want = np.stack([fresh.vx, fresh.vy, fresh.vz, fresh.axis, fresh.sgn],
+                    1).astype(np.int64)
+    assert len(got) == len(want)
+    # same unit-face multiset (order may differ)
     got = got[np.lexsort(got.T)]
     want = want[np.lexsort(want.T)]
     np.testing.assert_array_equal(got, want)

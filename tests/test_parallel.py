@@ -56,6 +56,35 @@ def test_sharded_frame_matches_single(pyr):
     assert (diff > 1).mean() < 1e-3
 
 
+def test_sharded_flagship_frame_exact(small_world):
+    """The FLAGSHIP composition (per-band rasterized primary + sun-space
+    shadow classifier + local DDA residue) sharded over 8 devices must be
+    BIT-IDENTICAL to the single-chip frame — u8 image AND f32 HDR. Sized
+    so each shard holds 512*8 = 4096 rays: the first compaction-cascade
+    capacity engages inside every shard (the round-2 dryrun never
+    exercised the cascade under sharding)."""
+    import __graft_entry__ as ge
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+
+    _, _, occ = small_world
+    grid = build_jump_grid(occ)
+    cfg = RenderConfig(width=512, height=64, shadow_samples=1,
+                       max_ray_iterations=2, skybox_resolution=32,
+                       clouds_resolution=32)
+    cam = Camera.look_at([32.0, 28.0, 6.0], [32.0, 2.0, 45.0], fov=85.0)
+    o, d = camera_rays(cam, cfg.render_width, cfg.render_height)
+    sun = jnp.asarray(np.array([-0.28, 0.65, -0.71, 0.0], np.float32))
+    raster, sunmask = ge._flagship_parts(occ, cam, sun)
+
+    img1, hdr1 = render_frame(grid, o, d, sun, jnp.float32(0.0), cfg,
+                              raster=raster, sunmask=sunmask)
+    mesh = make_mesh(8)
+    img8, hdr8 = render_frame_sharded(mesh, grid, o, d, sun, 0.0, cfg,
+                                      raster=raster, sunmask=sunmask)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+    np.testing.assert_array_equal(np.asarray(hdr1), np.asarray(hdr8))
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -11,7 +11,7 @@ from vvr_tpu.ops.raygen import camera_rays
 from vvr_tpu.ops.traverse import solid_at
 from vvr_tpu.render.oracle import trace_dense
 from vvr_tpu.utils.camera import Camera
-from vvr_tpu.world.faces import extract_faces
+from vvr_tpu.world.faces import extract_faces, extract_merged_faces
 from vvr_tpu.world.pyramid import build_brick_pyramid
 
 
@@ -23,10 +23,9 @@ def _cam_tuple(cam: Camera):
             jnp.asarray(forward, jnp.float32), jnp.float32(tan_half))
 
 
-def _faces_dev(occ):
-    fs = extract_faces(occ)
-    return tuple(jnp.asarray(a) for a in (fs.vx, fs.vy, fs.vz, fs.axis,
-                                          fs.sgn))
+def _faces_dev(occ, merged=True):
+    fs = extract_merged_faces(occ) if merged else extract_faces(occ)
+    return fs.device_tuple()
 
 
 def assert_raster_matches_oracle(occ, cam: Camera, w=96, h=64):
@@ -133,3 +132,24 @@ def test_raster_close_camera_big_faces(small_world):
     cam = Camera.look_at([x + 0.5, y + 2.2, z + 0.5],
                          [x + 0.5, y - 5.0, z + 0.5], fov=100.0)
     assert_raster_matches_oracle(occ, cam, w=64, h=48)
+
+
+def test_raster_merged_equals_unit_faces(small_world):
+    """Greedy-merged rectangles must yield the bit-identical frame to unit
+    faces: coverage is a per-cell range test, so the fragment set (and the
+    scatter-min winners) are the same."""
+    _, _, occ = small_world
+    size = occ.shape[0]
+    pyr = build_brick_pyramid(occ)
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+    o, d = camera_rays(cam, 96, 64)
+    rm = trace_raster(_faces_dev(occ, True), _cam_tuple(cam), d, probe,
+                      size, 96, 64)
+    ru = trace_raster(_faces_dev(occ, False), _cam_tuple(cam), d, probe,
+                      size, 96, 64)
+    np.testing.assert_array_equal(np.asarray(rm.hit), np.asarray(ru.hit))
+    np.testing.assert_array_equal(np.asarray(rm.face), np.asarray(ru.face))
+    np.testing.assert_array_equal(np.asarray(rm.t), np.asarray(ru.t))
+    np.testing.assert_array_equal(np.asarray(rm.axis_coord),
+                                  np.asarray(ru.axis_coord))

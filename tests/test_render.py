@@ -125,14 +125,12 @@ def test_raster_primary_frame_matches_dda(small_world, pyr):
     consumes only hit/face/axis_coord."""
     import jax.numpy as jnp2
     from vvr_tpu.ops.traverse import solid_at
-    from vvr_tpu.world.faces import extract_faces
+    from vvr_tpu.world.faces import extract_merged_faces
     _, _, occ = small_world
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
     img_dda, hdr_dda = _render(pyr, cam)
 
-    fs = extract_faces(occ)
-    faces = tuple(jnp2.asarray(a) for a in (fs.vx, fs.vy, fs.vz, fs.axis,
-                                            fs.sgn))
+    faces = extract_merged_faces(occ).device_tuple()
     right, up, forward = cam.basis()
     tan_half = np.float32(np.tan(np.radians(cam.fov) / 2.0))
     rcam = (jnp2.asarray(cam.position, np.float32),

@@ -118,10 +118,8 @@ def main():
     if "--raster" in sys.argv:
         from vvr_tpu.ops.rastertrace import trace_raster
         from vvr_tpu.ops.traverse import solid_at
-        from vvr_tpu.world.faces import extract_faces
-        fset = extract_faces(occ)
-        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
-                                            fset.axis, fset.sgn))
+        from vvr_tpu.world.faces import extract_merged_faces
+        fd = extract_merged_faces(occ).device_tuple()
         right, up, fwd = cam.basis()
         th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
         ct = (jnp.asarray(cam.position, jnp.float32),
@@ -157,10 +155,8 @@ def main():
         from vvr_tpu.ops.sunshadow import (build_sun_grids,
                                            masked_shadow_hits, sun_basis)
         from vvr_tpu.ops.traverse import solid_at
-        from vvr_tpu.world.faces import extract_faces
-        fset = extract_faces(occ)
-        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
-                                            fset.axis, fset.sgn))
+        from vvr_tpu.world.faces import extract_merged_faces
+        fd = extract_merged_faces(occ).device_tuple()
         right, up, fwd = cam.basis()
         th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
         ct = (jnp.asarray(cam.position, jnp.float32),
@@ -175,14 +171,14 @@ def main():
         e1, e2, s_ = sun_basis(np.asarray(sun))
         e1j, e2j = jnp.asarray(e1), jnp.asarray(e2)
         t0 = time.monotonic()
-        grids = jax.block_until_ready(build_sun_grids(fd, e1j, e2j,
-                                                      jnp.asarray(s_), 256))
+        grids, gok = jax.block_until_ready(build_sun_grids(
+            fd, e1j, e2j, jnp.asarray(s_), 256))
         print(json.dumps({"grid_build_ms":
-                          round((time.monotonic() - t0) * 1e3, 1)}),
-              flush=True)
+                          round((time.monotonic() - t0) * 1e3, 1),
+                          "ok": bool(gok)}), flush=True)
         t0 = time.monotonic()
-        grids = jax.block_until_ready(build_sun_grids(fd, e1j, e2j,
-                                                      jnp.asarray(s_), 256))
+        grids, gok = jax.block_until_ready(build_sun_grids(
+            fd, e1j, e2j, jnp.asarray(s_), 256))
         print(json.dumps({"grid_build_warm_ms":
                           round((time.monotonic() - t0) * 1e3, 1)}),
               flush=True)
@@ -194,22 +190,24 @@ def main():
                               phase1_groups=SHADOW_PHASE1 if shadow else 6,
                               cascade=SHADOW_CASCADE if shadow else None)
 
-        from vvr_tpu.ops.sunshadow import LIFT, classify, near_occlusion
-        hn, cln, exi, bad = near_occlusion(grid.rows, s_o, sun, hit, 256)
-        cs, cl = classify(s_o + sun[None, :] * LIFT, e1j, e2j, sun,
-                          grids, 256)
-        kh = hit & (hn | cs)
-        km = hit & ~kh & ((cln & cl) | exi)
+        from vvr_tpu.ops.sunshadow import BACK, classify
+        cs, _ = classify(s_o, e1j, e2j, sun, grids, 256)
+        # light-certainty at the surface depth (the back-margin of
+        # masked_shadow_hits == classify's light test at s_o - BACK*s)
+        _, cl = classify(s_o - sun[None, :] * BACK, e1j, e2j, sun,
+                         grids, 256)
+        kh = hit & cs
+        inw = jnp.all((s_o >= 0) & (s_o < 256), axis=-1)
+        km = hit & ~kh & (cl | ~inw)
         amb = hit & ~kh & ~km
         stats = {k: int(np.asarray(v).sum()) for k, v in
-                 (("shadow_lanes", hit), ("near_hit", hn), ("clean", cln),
-                  ("exited", exi), ("near_bad", bad), ("cs", cs),
-                  ("cl", cl), ("known_hit", kh), ("known_miss", km),
+                 (("shadow_lanes", hit), ("cs", cs), ("cl", cl),
+                  ("known_hit", kh), ("known_miss", km),
                   ("ambiguous", amb))}
         print(json.dumps(stats), flush=True)
 
         def masked():
-            return masked_shadow_hits(tr, grid.rows, s_o, sun, e1j, e2j,
+            return masked_shadow_hits(tr, s_o, sun, e1j, e2j,
                                       grids, hit, 256,
                                       n // 10).sum()
 
@@ -233,10 +231,8 @@ def main():
         # trace: kernel x (fe, p1, cascade, pack cap)
         from vvr_tpu.ops.rastertrace import trace_raster
         from vvr_tpu.ops.traverse import solid_at
-        from vvr_tpu.world.faces import extract_faces
-        fset = extract_faces(occ)
-        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
-                                            fset.axis, fset.sgn))
+        from vvr_tpu.world.faces import extract_merged_faces
+        fd = extract_merged_faces(occ).device_tuple()
         right, up, fwd = cam.basis()
         th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
         ct = (jnp.asarray(cam.position, jnp.float32),

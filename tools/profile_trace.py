@@ -55,10 +55,8 @@ def run(kind: str, frame: bool):
     elif kind == "raster":
         from vvr_tpu.ops.rastertrace import trace_raster
         from vvr_tpu.ops.traverse import solid_at
-        from vvr_tpu.world.faces import extract_faces
-        fset = extract_faces(occ)
-        fd = tuple(jnp.asarray(a) for a in (fset.vx, fset.vy, fset.vz,
-                                            fset.axis, fset.sgn))
+        from vvr_tpu.world.faces import extract_merged_faces
+        fd = extract_merged_faces(occ).device_tuple()
         right, up, fwd = cam.basis()
         th = np.float32(np.tan(np.radians(cam.fov) / 2.0))
         ct = (jnp.asarray(cam.position, jnp.float32),

@@ -303,7 +303,9 @@ def trace_jump(grid: JumpGrid, ray_o, ray_d, max_steps: int = 2048,
         overflow = active & ~packed_mark
         rest = trace_jump(grid, ray_o, ray_d, max_steps=max_steps,
                           active=overflow, compact=True, pack_first=None,
-                          fetch_every=fetch_every, with_stats=with_stats)
+                          fetch_every=fetch_every,
+                          phase1_groups=phase1_groups,
+                          with_stats=with_stats, cascade=cascade)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),

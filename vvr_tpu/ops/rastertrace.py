@@ -73,7 +73,9 @@ def _ray_dir(i, j, cam, width: int, height: int):
 def _project_faces(fv, cam, width: int, height: int):
     """Per-face visibility + conservative pixel bbox of the projected quad.
     Returns (visible, behind, imin, imax, jmin, jmax)."""
-    vx, vy, vz, axis, sgn = fv
+    vx, vy, vz, axis, sgn, eu, ev = fv
+    eu = eu.astype(F32)
+    ev = ev.astype(F32)
     pos, right, up, forward, tan_half = cam
     ratio = width / height
     tx = tan_half
@@ -97,12 +99,14 @@ def _project_faces(fv, cam, width: int, height: int):
     for du_ in (0.0, 1.0):
         for dv_ in (0.0, 1.0):
             # corner coordinates: on `axis` -> plane; on the other two axes
-            # -> voxel coord + {0,1}: axis 0 spans (y+du, z+dv), axis 1
-            # spans (x+du, z+dv), axis 2 spans (x+du, y+dv)
-            cx = jnp.where(ax_is[0], pc, base[:, 0] + du_)
+            # -> voxel coord + {0,eu}/{0,ev}: axis 0 spans (y+du*eu,
+            # z+dv*ev), axis 1 (x+du*eu, z+dv*ev), axis 2 (x+du*eu,
+            # y+dv*ev) — the FaceSet u/v mapping
+            cx = jnp.where(ax_is[0], pc, base[:, 0] + du_ * eu)
             cy = jnp.where(ax_is[1], pc,
-                           base[:, 1] + jnp.where(ax_is[0], du_, dv_))
-            cz = jnp.where(ax_is[2], pc, base[:, 2] + dv_)
+                           base[:, 1] + jnp.where(ax_is[0], du_ * eu,
+                                                  dv_ * ev))
+            cz = jnp.where(ax_is[2], pc, base[:, 2] + dv_ * ev)
             qx = cx - pos[0]
             qy = cy - pos[1]
             qz = cz - pos[2]
@@ -146,13 +150,23 @@ def _f32_bits(t):
 
 
 @functools.partial(jax.jit, static_argnames=("size", "width", "height",
-                                             "cap_entries", "cap_screen"))
+                                             "cap_entries", "cap_screen",
+                                             "band_h"))
 def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
                  height: int, cap_entries: int = 1 << 20,
-                 cap_screen: int = 4096) -> TraceResult:
+                 cap_screen: int = 4096, j0=0,
+                 band_h: int | None = None) -> TraceResult:
     """First hits of the camera's H x W primary rays against the face set.
 
-    faces: tuple of device arrays (vx, vy, vz, axis, sgn), int32 (F,)
+    Band mode (multi-chip sharding, parallel/mesh.py): pass `band_h` (the
+    band's pixel-row count, static) and `j0` (its first global row,
+    traced — inside shard_map it is axis_index * band_h) with `d_rays`
+    the band's own rays; faces are bbox-clipped to the band and the
+    result covers band_h*width rays. Fragment floats depend only on
+    GLOBAL pixel coordinates, so banded winners == full-frame winners
+    bit-for-bit (tests/test_parallel.py).
+
+    faces: device tuple (vx, vy, vz, axis, sgn, eu, ev), int32 (F,)
     cam:   (pos(3,), right(3,), up(3,), forward(3,), tan_half) f32
     d_rays: (H*W, 3) f32 — THE wavefront's own direction array (raygen
             output). Fragments recompute d by formula (cheap, but XLA's
@@ -176,9 +190,12 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     face is rasterized exactly once regardless of camera.
 
     Returns TraceResult over H*W rays (row-major, top-left first)."""
-    vx, vy, vz, axis, sgn = faces
+    vx, vy, vz, axis, sgn, feu, fev = faces
     pos = cam[0]
-    n_pix = width * height
+    if band_h is None:
+        band_h = height
+    j0 = jnp.asarray(j0, I32)
+    n_pix = width * band_h
     f = vx.shape[0]
     # trace_shi bounds rule: origin outside [0, size)^3 -> miss everything
     inside = ((pos[0] >= 0) & (pos[0] < size) & (pos[1] >= 0)
@@ -186,7 +203,10 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
 
     visible, straddle, onscreen, imin, imax, jmin, jmax = _project_faces(
         faces, cam, width, height)
-    ok = visible & ~straddle & onscreen
+    # clip each face's row range to this band; empty -> face not binned
+    jmin = jnp.maximum(jmin, j0)
+    jmax = jnp.minimum(jmax, j0 + band_h - 1)
+    ok = visible & ~straddle & onscreen & (jmin <= jmax)
 
     tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
 
@@ -205,9 +225,9 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         idx_f, mode="drop")
     ent_face = jax.lax.cummax(starts)                      # (cap_entries,)
 
-    # per-entry face data: one gather from a packed (F, 10) i32 table
+    # per-entry face data: one gather from a packed (F, 12) i32 table
     ftab = jnp.stack([imin, jmin, imax, jmax, tw, off,
-                      vx, vy, vz, axis * 2 + sgn], axis=1)
+                      vx, vy, vz, axis * 2 + sgn, feu, fev], axis=1)
 
     # process entries in dynamic-trip chunks so the cost scales with the
     # camera's actual entry count, not the static capacity
@@ -220,7 +240,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         ent_ok = ek < total
         fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
         row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
-                       mode="clip")                        # (CH, 10)
+                       mode="clip")                        # (CH, 12)
         li = ek - row[:, 5]
         base_i = row[:, 0] + TK * (li % jnp.maximum(row[:, 4], 1))
         base_j = row[:, 1] + TK * (li // jnp.maximum(row[:, 4], 1))
@@ -245,13 +265,20 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         hx = jnp.floor(pos[0] + d[..., 0] * t).astype(I32)
         hy = jnp.floor(pos[1] + d[..., 1] * t).astype(I32)
         hz = jnp.floor(pos[2] + d[..., 2] * t).astype(I32)
-        cov_u = jnp.where(ax2 == 0, hy == e_vy[:, None],
-                          hx == e_vx[:, None])
-        cov_v = jnp.where(ax2 == 2, hy == e_vy[:, None],
-                          hz == e_vz[:, None])
-        cover = ins & (t > 0.0) & cov_u & cov_v
+        # coverage is a per-cell range test over the merged rectangle —
+        # identical fragments to rasterizing its unit faces one by one
+        e_eu = row[:, 10][:, None]
+        e_ev = row[:, 11][:, None]
+        u_c = jnp.where(ax2 == 0, hy, hx)
+        u_0 = jnp.where(ax2 == 0, e_vy[:, None], e_vx[:, None])
+        v_c = jnp.where(ax2 == 2, hy, hz)
+        v_0 = jnp.where(ax2 == 2, e_vy[:, None], e_vz[:, None])
+        cov_u = (u_c >= u_0) & (u_c < u_0 + e_eu)
+        cov_v = (v_c >= v_0) & (v_c < v_0 + e_ev)
+        cover = ins & (t > 0.0) & cov_u & cov_v & (j >= j0) \
+            & (j < j0 + band_h)
         # uncovered fragments index out of bounds -> dropped, not written
-        pix = jnp.where(cover, j * width + i, n_pix + 1)
+        pix = jnp.where(cover, (j - j0) * width + i, n_pix + 1)
         tb = tb.at[pix.reshape(-1)].min(
             jnp.where(cover, _f32_bits(t), SENTINEL).reshape(-1),
             mode="drop")
@@ -260,16 +287,23 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     _, tbuf = jax.lax.while_loop(lambda c: c[0] < total, chunk_body,
                                  (jnp.int32(0), tbuf))
 
-    # full-screen safety net: straddling + allocation-overflow faces —
-    # dynamic trip count, one face across all pixels per trip
+    # full-screen safety net: straddling + allocation-overflow faces.
+    # EXHAUSTIVE (no truncation): the face list is scanned in fixed-size
+    # chunks (outer while_loop skips chunks with no net faces — near-free),
+    # and each net face inside a chunk costs one full-screen predicated
+    # min (inner while_loop with dynamic trip = the chunk's true count).
+    # Every visible face is rasterized exactly once regardless of camera
+    # or face count — the documented contract, now without the cap_screen
+    # hole (ADVICE r2 #2).
     cls_net = (visible & straddle) | over_cap
-    seln = jnp.nonzero(cls_net, size=cap_screen, fill_value=f)[0]
-    n_net = jnp.minimum(jnp.sum(cls_net), cap_screen).astype(I32)
     d_all = d_rays                                        # (n_pix, 3)
+    CH2 = min(cap_screen, 1 << 12)
+    n_chunks = -(-f // CH2)
+    pad = n_chunks * CH2 - f
+    cls_pad = jnp.concatenate([cls_net, jnp.zeros((pad,), bool)])
+    chunk_has = jnp.any(cls_pad.reshape(n_chunks, CH2), axis=1)
 
-    def net_body(c):
-        k, tb = c
-        fi = jnp.minimum(seln[jnp.minimum(k, cap_screen - 1)], f - 1)
+    def net_face(fi, tb):
         ax = axis[fi]
         plane = (jnp.where(ax == 0, vx[fi],
                            jnp.where(ax == 1, vy[fi], vz[fi]))
@@ -283,15 +317,38 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         hx = jnp.floor(pos[0] + d_all[:, 0] * t).astype(I32)
         hy = jnp.floor(pos[1] + d_all[:, 1] * t).astype(I32)
         hz = jnp.floor(pos[2] + d_all[:, 2] * t).astype(I32)
-        cov_u = jnp.where(ax == 0, hy == vy[fi], hx == vx[fi])
-        cov_v = jnp.where(ax == 2, hy == vy[fi], hz == vz[fi])
-        cover = (t > 0.0) & cov_u & cov_v
+        u_c = jnp.where(ax == 0, hy, hx)
+        u_0 = jnp.where(ax == 0, vy[fi], vx[fi])
+        v_c = jnp.where(ax == 2, hy, hz)
+        v_0 = jnp.where(ax == 2, vy[fi], vz[fi])
+        cover = ((t > 0.0) & (u_c >= u_0) & (u_c < u_0 + feu[fi])
+                 & (v_c >= v_0) & (v_c < v_0 + fev[fi]))
         newt = jnp.where(cover, _f32_bits(t), SENTINEL)
-        tb = tb.at[:n_pix].min(newt)
-        return k + 1, tb
+        return tb.at[:n_pix].min(newt)
 
-    _, tbuf = jax.lax.while_loop(lambda c: c[0] < n_net, net_body,
-                                 (jnp.int32(0), tbuf))
+    def chunk_net(c):
+        ci, tb = c
+        base = ci * CH2
+        mask_c = jax.lax.dynamic_slice(cls_pad, (base,), (CH2,))
+        sel_c = jnp.nonzero(mask_c, size=CH2, fill_value=CH2)[0]
+        cnt_c = jnp.sum(mask_c).astype(I32)
+
+        def one(k, tb2):
+            fi = jnp.minimum(base + sel_c[jnp.minimum(k, CH2 - 1)], f - 1)
+            return k + 1, net_face(fi, tb2)
+
+        _, tb = jax.lax.while_loop(lambda d2: d2[0] < cnt_c,
+                                   lambda d2: one(d2[0], d2[1]),
+                                   (jnp.int32(0), tb))
+        # skip ahead to the next chunk that has net faces (or end)
+        nxt = jnp.where((jnp.arange(n_chunks) > ci) & chunk_has,
+                        jnp.arange(n_chunks), n_chunks)
+        return jnp.min(nxt).astype(I32), tb
+
+    first = jnp.min(jnp.where(chunk_has, jnp.arange(n_chunks),
+                              n_chunks)).astype(I32)
+    _, tbuf = jax.lax.while_loop(lambda c: c[0] < n_chunks, chunk_net,
+                                 (first, tbuf))
 
     # ---- per-pixel winner reconstruction (exact formulas on d_rays) ----
     tbits = tbuf[:n_pix]
@@ -304,7 +361,13 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     best_rank = jnp.full((n_pix,), 99, I32)
     for a in range(3):
         d_a = d_all[:, a]
-        inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
+        # the barrier stops XLA's algebraic simplifier from folding
+        # mul(x, 1/d) -> div(x, d): the oracle multiplies by the ROUNDED
+        # reciprocal, and the fold is 1 ulp off that (whether it fires
+        # depends on unrelated graph shape — it did after the round-3
+        # coverage rework)
+        inv_a = jax.lax.optimization_barrier(
+            jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a))
         k0 = jnp.floor(hpos[:, a]).astype(I32)
         for kc in (0, 1):
             plane = (k0 + kc).astype(F32)

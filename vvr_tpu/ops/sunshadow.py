@@ -1,35 +1,48 @@
-"""Sun-space occlusion classifier — conservative O(1) shadow answers.
+"""Sun-space occlusion classifier — O(1) shadow answers from anti-sun
+face grids.
 
-All sun-shadow rays share one direction, so occlusion is a property of the
-2D orthographic projection along the sun: a ray from P toward the sun is
-  * CERTAINLY SHADOWED if some exposed face's projection fully covers P's
-    projected point and the face lies strictly ahead of P along the sun;
-  * CERTAINLY LIT if no face whose projection could touch P's point lies
-    ahead of P;
-  * ambiguous otherwise (silhouette texels) -> resolved by the exact DDA.
+All sun-shadow rays share one direction s, so occlusion is a property of
+the 2D orthographic projection along s. The round-3 key fact: a ray
+traveling toward the sun can enter solid ONLY through an exposed face
+whose normal opposes the sun (normal·s < 0 — crossing a face
+perpendicular to axis a while moving sign(s_a) along a means the face's
+empty side, hence its normal, points back toward -sign(s_a)·a). The
+query point's own surface face has normal·s > 0 (shadow rays exist only
+for sun-facing lanes), so it is never in the occluder set — which is
+what lets the classifier answer at the true hit point with no "lift"
+trick and no exact near-segment pre-pass (both of which round 2 needed
+when the grids were built from ALL faces).
 
-Two conservative grids over the projected world (built once per sun
-direction, reused every frame; GRID static):
-  gridB[t] = max over faces FULLY covering texel t (quad shrunk by SAFE)
-             of the face's max depth        -> shadow-certain if
-             z_start < gridB[t] - SAFE  (the covering face is wholly ahead)
-  gridC[t] = max over faces POSSIBLY touching texel t (bbox grown by SAFE)
-             of the face's max depth        -> light-certain if
-             z_start > gridC[t] + SAFE  (every candidate is wholly behind)
+Two conservative grids over the projected world, built once per sun
+direction from the ANTI-SUN subset of the merged exposed-face rectangles
+(world/faces.py), interleaved into one (G^2, 2) f32 table:
 
-Wait — shadow-certain needs the face AHEAD of the ray start: the crossing
-depth lies in [zmin_f, zmax_f], so `z_start < zmin_f - SAFE` guarantees a
-strictly-forward crossing; gridB therefore stores the MAX of zmin_f (any
-single qualifying face suffices, and the deepest-starting one serves the
-most queries). Conversely every face with zmax_f >= z_start - SAFE could
-be crossed forward, so light-certainty needs the max of zmax_f to be
-behind. SAFE (0.02 voxels) dwarfs the f32 projection error (~5e-4 at
-1024-voxel coordinates); correctness is pinned by equality-vs-DDA tests
-(tests/test_sunshadow.py) — the same empirical bar as every kernel here.
+  gridB[t] = max over occluder faces FULLY covering texel t (quad shrunk
+             by SAFE) of the face's min depth along s. A query with
+             z < gridB[t] - SAFE crosses that face strictly ahead ->
+             CERTAINLY SHADOWED (the crossing enters solid).
+  gridC[t] = max over occluder faces POSSIBLY touching t (bbox grown by
+             SAFE) of the face's max depth. A query with
+             z > gridC[t] + SAFE has every possible entry crossing
+             strictly behind -> CERTAINLY LIT.
+
+Contract (tests/test_sunshadow.py): for query points in EMPTY space
+(every shadow-ray start is: hit point + 0.05 along s, guarded by the
+back-margin below), a certain answer always agrees with the exact DDA.
+Points inside solid may be wrongly light-certain (their entry crossing
+can be far behind them) — masked_shadow_hits closes that hole by
+evaluating light-certainty at the depth of the SURFACE point (s_o minus
+the 0.05 offset): any segment crossing that could bury s_o registers in
+gridC at a depth >= that, blocking the certain-light claim.
 
 The classifier is an optimization of the frame's shadow pass
-(raytracer.slang:326-351 semantics are unchanged): certain lanes skip the
-traversal entirely; ambiguous lanes run the jump-kernel DDA bit-exactly.
+(raytracer.slang:326-351 semantics unchanged): certain lanes skip the
+traversal; ambiguous lanes (true silhouette texels) run the exact DDA.
+The one documented divergence: a certain-shadow answer asserts a real
+forward crossing, which equals the DDA's answer whenever the DDA
+terminates within its max_steps cap (a ray that would exhaust the cap
+reports miss where the classifier correctly reports hit; unreachable on
+the test corpus, ~2048 sub-steps).
 """
 
 from __future__ import annotations
@@ -46,7 +59,8 @@ I32 = jnp.int32
 GRID = 2048
 SAFE = 0.02
 NEG = jnp.float32(-3e38)
-TK = 4  # texel-tile edge for the build's entry allocation
+TK = 4          # texel-tile edge for the build's entry allocation
+BACK = 0.05     # the frame's shadow-start offset along s (render/frame.py)
 
 
 def sun_basis(sun3: np.ndarray):
@@ -65,9 +79,13 @@ def sun_basis(sun3: np.ndarray):
 @functools.partial(jax.jit, static_argnames=("size", "grid", "cap_entries"))
 def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
                     cap_entries: int = 1 << 20):
-    """(gridB, gridC, a0, b0, ts): conservative occlusion grids for sun
-    direction s (faces: the rastertrace device tuple)."""
-    vx, vy, vz, axis, sgn = faces
+    """((gBC, a0, b0, ts), ok): conservative occlusion grids for sun
+    direction s. `faces` is the merged-rectangle device tuple
+    (vx, vy, vz, axis, sgn, eu, ev). `ok` is a device bool scalar — False
+    when the tile-entry allocation overflowed cap_entries, in which case
+    gridC is NOT conservative and the caller must rebuild with a larger
+    cap (renderer._sunmask retries) or disable the classifier."""
+    vx, vy, vz, axis, sgn, eu, ev = faces
     f = vx.shape[0]
     # projected extent of the world cube (conservative, fixed per size)
     corners = jnp.asarray(
@@ -79,19 +97,29 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     b0 = jnp.min(pb) - 1.0
     ts = (jnp.maximum(jnp.max(pa) - a0, jnp.max(pb) - b0) + 2.0) / grid
 
+    # occluder subset: faces a sun-bound ray can enter solid through
+    # (normal·s < 0; normal = +axis if sgn else -axis). Sun-facing faces
+    # are excluded from BOTH grids — they cannot cause occlusion, and
+    # excluding them is what makes near-surface queries classifiable.
+    s_a = jnp.where(axis == 0, s[0], jnp.where(axis == 1, s[1], s[2]))
+    occl = jnp.where(sgn == 1, s_a < 0.0, s_a > 0.0)
+
     base = jnp.stack([vx, vy, vz], -1).astype(F32)
     pc = (jnp.where(axis == 0, vx, jnp.where(axis == 1, vy, vz))
           + sgn).astype(F32)
+    euf = eu.astype(F32)
+    evf = ev.astype(F32)
     ax_is = [axis == 0, axis == 1, axis == 2]
     ca = []
     cb = []
     cz = []
     for du_ in (0.0, 1.0):
         for dv_ in (0.0, 1.0):
-            cx = jnp.where(ax_is[0], pc, base[:, 0] + du_)
+            cx = jnp.where(ax_is[0], pc, base[:, 0] + du_ * euf)
             cy = jnp.where(ax_is[1], pc,
-                           base[:, 1] + jnp.where(ax_is[0], du_, dv_))
-            cz_ = jnp.where(ax_is[2], pc, base[:, 2] + dv_)
+                           base[:, 1] + jnp.where(ax_is[0], du_ * euf,
+                                                  dv_ * evf))
+            cz_ = jnp.where(ax_is[2], pc, base[:, 2] + dv_ * evf)
             ca.append(cx * e1[0] + cy * e1[1] + cz_ * e1[2])
             cb.append(cx * e2[0] + cy * e2[1] + cz_ * e2[2])
             cz.append(cx * s[0] + cy * s[1] + cz_ * s[2])
@@ -130,12 +158,14 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     mu = SAFE * jnp.sqrt(va * va + vb * vb) / adet
     mv = SAFE * jnp.sqrt(ua * ua + ub * ub) / adet
 
-    # ---- tile-entry allocation over the OUTER bbox ----
+    # ---- tile-entry allocation over the OUTER bbox (occluders only) ----
     tw = (oi1 - oi0) // TK + 1
     th_ = (oj1 - oj0) // TK + 1
-    cnt = tw * th_
+    cnt = jnp.where(occl, tw * th_, 0)
     off = jnp.cumsum(cnt) - cnt
-    placed = off + cnt <= cap_entries
+    requested = jnp.max(off + cnt).astype(I32) if f else jnp.int32(0)
+    ok = requested <= cap_entries
+    placed = occl & (off + cnt <= cap_entries)
     total = jnp.max(jnp.where(placed, off + cnt, 0)).astype(I32)
     idx_f = jnp.arange(f, dtype=I32)
     starts = jnp.zeros((cap_entries,), I32).at[
@@ -170,7 +200,6 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         gC = gC.at[jnp.where(ins, tex, grid * grid + 2).reshape(-1)].max(
             jnp.broadcast_to(fzmax, ins.shape).reshape(-1), mode="drop")
         # gridB: texel FULLY inside the shrunk quad -> max of zmin.
-        # all 4 texel corners must be inside
         ta0 = a0 + i.astype(F32) * ts
         tb0 = b0 + j.astype(F32) * ts
         fully = ins & ~degenerate[fidx][:, None]
@@ -198,169 +227,62 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
 
     _, gridB, gridC = jax.lax.while_loop(
         lambda c: c[0] < total, chunk_body, (jnp.int32(0), gridB, gridC))
-    # interleave as one (G^2, 2) table: classify then needs ONE 8 B row
-    # gather instead of two 4 B gathers (measured 50 ms at 2M lanes)
+    # interleave as one (G^2, 2) table: classify needs ONE 8 B row gather
+    # instead of two 4 B gathers (measured 50 ms at 2M lanes)
     gBC = jnp.stack([gridB[:grid * grid], gridC[:grid * grid]], axis=1)
-    return gBC, a0, b0, ts
+    return (gBC, a0, b0, ts), ok
 
 
-LIFT = 1.6  # voxels along the sun cleared exactly by near_occlusion
+def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
+                       size: int, pack_cap, back: float = BACK):
+    """The frame's hard-shadow query with the classifier fast path: one
+    grid gather + two depth compares answers almost every lane; only
+    ambiguous lanes (silhouette texels and tight near-surface geometry)
+    run the full DDA (`tr`, the frame's shadow tracer).
 
+    `s_o` is the DDA's own ray start — surface point + `back` along the
+    sun. Shadow-certainty is evaluated at s_o's depth (the witness
+    crossing must lie strictly ahead of the DDA start); light-certainty
+    at the surface point's depth (so a crossing that buries s_o inside
+    solid — where the DDA hits at t=0 — always blocks the claim).
+    Out-of-world starts are certainly-miss (trace_shi's origin-outside
+    rule, ray_stuff_other.slang:424-437).
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def near_occlusion(jump_rows, s_o, s, active, size: int):
-    """Exact occlusion of the first LIFT voxels along the (shared) sun
-    direction from each start — the oracle's own stepping formulas,
-    unrolled (LIFT < 2 crosses at most two planes per axis: <= 6 steps,
-    7 voxel tests), against at most TWO gathered superbrick rows (one
-    refetch when the segment crosses a superbrick boundary).
+    Bit-equal to running the DDA for every lane wherever the DDA
+    terminates within its max_steps cap (tests/test_sunshadow.py; see the
+    module docstring for the cap divergence)."""
+    gBC, a0, b0, ts = grids
+    inw = jnp.all((s_o >= 0) & (s_o < size), axis=-1)
+    qa = s_o @ e1
+    qb = s_o @ e2
+    qz = s_o @ sun3
+    grid = GRID
+    i = jnp.floor((qa - a0) / ts).astype(I32)
+    j = jnp.floor((qb - b0) / ts).astype(I32)
+    inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
+    tex = jnp.where(inb, j * grid + i, 0)
+    row = jnp.take(gBC, tex, axis=0, mode="clip")
+    certain_shadow = inb & (qz < row[:, 0] - SAFE)
+    certain_light = inb & (qz - back > row[:, 1] + SAFE)
 
-    Returns (hit, clean, exited, bad):
-      hit    — a solid voxel is entered at t in [0, LIFT)
-      clean  — the segment was fully resolved with no hit
-      exited — the ray left the world within the segment (total miss)
-      bad    — unresolved (a second superbrick crossing): caller must run
-               the full DDA for these lanes
-    The query point for the beyond-LIFT classifier is s_o + s*LIFT."""
-    g = size // 8
-    ox, oy, oz = s_o[:, 0], s_o[:, 1], s_o[:, 2]
-    dx, dy, dz = s[0], s[1], s[2]
-
-    def inv(c):
-        return jnp.where(c == 0.0, F32(3e38), 1.0 / c)
-
-    ix_, iy_, iz_ = inv(dx), inv(dy), inv(dz)
-    px_ = (dx > 0).astype(I32)
-    py_ = (dy > 0).astype(I32)
-    pz_ = (dz > 0).astype(I32)
-    inw = ((ox >= 0) & (ox < size) & (oy >= 0) & (oy < size)
-           & (oz >= 0) & (oz < size)) & active
-    vx = jnp.clip(jnp.floor(ox).astype(I32), 0, size - 1)
-    vy = jnp.clip(jnp.floor(oy).astype(I32), 0, size - 1)
-    vz = jnp.clip(jnp.floor(oz).astype(I32), 0, size - 1)
-    bx0, by0, bz0 = vx >> 3, vy >> 3, vz >> 3
-
-    def fetch_rows(sel, bx, by, bz):
-        addr = bx + by * g + bz * g * g
-        r = jnp.take(jump_rows, jnp.where(sel, addr, 0), axis=0,
-                     mode="clip")
-        return [r[:, k] for k in range(16)]
-
-    rw = fetch_rows(inw, bx0, by0, bz0)
-
-    def solid(rw_, lx, ly, lz):
-        w = 2 * lz + (ly >> 2)
-        b0, b1, b2, b3 = (w & 1) == 0, (w & 2) == 0, (w & 4) == 0, \
-            (w & 8) == 0
-        a = [jnp.where(b0, rw_[2 * k], rw_[2 * k + 1]) for k in range(8)]
-        b = [jnp.where(b1, a[2 * k], a[2 * k + 1]) for k in range(4)]
-        c = [jnp.where(b2, b[2 * k], b[2 * k + 1]) for k in range(2)]
-        word = jnp.where(b3, c[0], c[1])
-        sh = (lx + ((ly & 3) << 3)).astype(jnp.uint32)
-        return ((word >> sh) & jnp.uint32(1)) == 1
-
-    def phase(st, second: bool):
-        """One test+step iteration (fori_loop body; bounded unroll would
-        OOM at 2M lanes x 13 steps of temporaries)."""
-        if second:
-            act0 = ~st["done"] & ~st["bad"] & st["crossed"]
-        else:
-            act0 = ~st["done"] & ~st["bad"] & ~st["crossed"]
-        vx, vy, vz = st["vx"], st["vy"], st["vz"]
-        hit_now = act0 & solid(st["rw"], vx & 7, vy & 7, vz & 7)
-        st["hit"] = st["hit"] | hit_now
-        st["done"] = st["done"] | hit_now
-        act = act0 & ~hit_now
-        bx = (vx + px_).astype(F32)
-        by = (vy + py_).astype(F32)
-        bz = (vz + pz_).astype(F32)
-        tx = jnp.where(dx == 0.0, F32(3e38), (bx - ox) * ix_)
-        ty = jnp.where(dy == 0.0, F32(3e38), (by - oy) * iy_)
-        tz = jnp.where(dz == 0.0, F32(3e38), (bz - oz) * iz_)
-        te = jnp.minimum(tx, jnp.minimum(ty, tz))
-        seg_end = act & (te >= LIFT)
-        st["done"] = st["done"] | seg_end
-        act = act & ~seg_end
-        nface = jnp.where(tz <= te, 2, jnp.where(ty <= te, 1, 0))
-        nvx = vx + jnp.where((nface == 0) & (dx > 0), 1,
-                             jnp.where((nface == 0), -1, 0))
-        nvy = vy + jnp.where((nface == 1) & (dy > 0), 1,
-                             jnp.where((nface == 1), -1, 0))
-        nvz = vz + jnp.where((nface == 2) & (dz > 0), 1,
-                             jnp.where((nface == 2), -1, 0))
-        out_world = ((nvx < 0) | (nvx >= size) | (nvy < 0) | (nvy >= size)
-                     | (nvz < 0) | (nvz >= size))
-        ex_now = act & out_world
-        st["exited"] = st["exited"] | ex_now
-        st["done"] = st["done"] | ex_now
-        act = act & ~ex_now
-        out_brick = ((nvx >> 3) != st["bx0"]) | ((nvy >> 3) != st["by0"]) \
-            | ((nvz >> 3) != st["bz0"])
-        cross_now = act & out_brick
-        if second:
-            st["bad"] = st["bad"] | cross_now   # second crossing
-        else:
-            st["crossed"] = st["crossed"] | cross_now
-            st["ncx"] = jnp.where(cross_now, nvx, st["ncx"])
-            st["ncy"] = jnp.where(cross_now, nvy, st["ncy"])
-            st["ncz"] = jnp.where(cross_now, nvz, st["ncz"])
-        act = act & ~out_brick
-        st["vx"] = jnp.where(act, nvx, vx)
-        st["vy"] = jnp.where(act, nvy, vy)
-        st["vz"] = jnp.where(act, nvz, vz)
-        return st
-
-    st = dict(hit=jnp.zeros_like(inw), done=~inw,
-              exited=jnp.zeros_like(inw), crossed=jnp.zeros_like(inw),
-              bad=jnp.zeros_like(inw), vx=vx, vy=vy, vz=vz,
-              ncx=vx, ncy=vy, ncz=vz, bx0=bx0, by0=by0, bz0=bz0, rw=rw)
-    st = jax.lax.fori_loop(0, 7, lambda _, s: phase(s, False), st)
-    # one refetch serves the crossing lanes; a second crossing -> bad
-    crossed = st["crossed"]
-    st["vx"] = jnp.where(crossed, st["ncx"], st["vx"])
-    st["vy"] = jnp.where(crossed, st["ncy"], st["vy"])
-    st["vz"] = jnp.where(crossed, st["ncz"], st["vz"])
-    st["bx0"] = jnp.where(crossed, st["vx"] >> 3, st["bx0"])
-    st["by0"] = jnp.where(crossed, st["vy"] >> 3, st["by0"])
-    st["bz0"] = jnp.where(crossed, st["vz"] >> 3, st["bz0"])
-    rw2 = fetch_rows(crossed, st["bx0"], st["by0"], st["bz0"])
-    st["rw"] = [jnp.where(crossed, a, b) for a, b in zip(rw2, st["rw"])]
-    st = jax.lax.fori_loop(0, 6, lambda _, s: phase(s, True), st)
-    hit, done, exited, bad = st["hit"], st["done"], st["exited"], st["bad"]
-    bad = bad | (~done & ~bad)   # safety: anything unfinished -> full DDA
-    clean = inw & done & ~hit & ~exited
-    return hit & inw, clean, exited & inw, bad & inw
-
-
-def masked_shadow_hits(tr, jump_rows, s_o, sun3, e1, e2, grids,
-                       shadow_active, size: int, pack_cap):
-    """The frame's hard-shadow query with the classifier fast path:
-    near-segment exact check + lifted-point classification; only ambiguous
-    lanes run the full DDA (`tr`, the frame's shadow tracer). Bit-equal to
-    running the DDA for every lane (tests/test_sunshadow.py)."""
-    import jax.numpy as jnp2
-    hit_n, clean, exited, bad = near_occlusion(jump_rows, s_o, sun3,
-                                               shadow_active, size)
-    p_l = s_o + sun3[None, :] * LIFT
-    cs, cl = classify(p_l, e1, e2, sun3, grids, size)
-    known_hit = shadow_active & (hit_n | cs)
-    known_miss = shadow_active & ~known_hit & ((clean & cl) | exited)
+    known_hit = shadow_active & certain_shadow
+    known_miss = shadow_active & ~known_hit & (certain_light | ~inw)
     amb = shadow_active & ~known_hit & ~known_miss
-    sdir = jnp2.broadcast_to(sun3, s_o.shape)
-    # measured on the bench scene: the shadow-tuned schedule stays faster
-    # for the ambiguous residue than the default cascade (353 vs 387 ms
-    # for the whole masked pass)
+    sdir = jnp.broadcast_to(sun3, s_o.shape)
     dda_hit = tr(s_o, sdir, active=amb, pack_first=pack_cap,
                  shadow=True).hit
-    return jnp2.where(known_hit, True,
-                      jnp2.where(known_miss, False, dda_hit))
+    return jnp.where(known_hit, True,
+                     jnp.where(known_miss, False, dda_hit))
 
 
 @functools.partial(jax.jit, static_argnames=("size", "grid"))
 def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     """(certain_shadow, certain_light) for ray starts `points` (N, 3)
-    toward the sun. Out-of-world starts are never `certain` — the DDA's
-    origin-outside rule (miss) applies and the fallback path handles it."""
+    toward the sun. Exact for points in empty space; points inside solid
+    may be wrongly light-certain (see module docstring) — callers with
+    possibly-buried starts must use a back-margin like masked_shadow_hits.
+    Out-of-world starts are never `certain` — the DDA's origin-outside
+    rule (miss) applies and the caller handles it."""
     gBC, a0, b0, ts = grids
     inw = jnp.all((points >= 0) & (points < size), axis=-1)
     qa = points @ e1
@@ -371,8 +293,6 @@ def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
     row = jnp.take(gBC, tex, axis=0, mode="clip")
-    zB = row[:, 0]
-    zC = row[:, 1]
-    certain_shadow = inb & (qz < zB - SAFE)
-    certain_light = inb & (qz > zC + SAFE)
+    certain_shadow = inb & (qz < row[:, 0] - SAFE)
+    certain_light = inb & (qz > row[:, 1] + SAFE)
     return certain_shadow, certain_light

@@ -1,21 +1,30 @@
-"""Multi-chip scaling — shard pixel tiles over a device mesh.
+"""Multi-chip scaling — shard pixel-row bands over a device mesh.
 
-The reference is single-GPU (SURVEY.md §2.4); the TPU build scales the same
-workload across chips as pure data parallelism over rays: the scene
-(pyramid + sky textures) is replicated — it is small (a 256^3 pyramid is
-~1 MiB) — and the ray batch is sharded along the first axis. There are no
-collectives in the hot loop; XLA inserts only the trivial all-reduce for the
-while_loop's all-rays-done predicate, which rides ICI.
+The reference is single-GPU (SURVEY.md §2.4); the TPU build scales the
+same workload across chips as data parallelism over pixel rows: the scene
+(acceleration rows + faces + sun grids + sky textures) is replicated — it
+is small (a 256^3 jump grid is ~4 MiB) — and the ray batch is sharded
+along the first axis, which in row-major pixel order makes each shard a
+contiguous band of image rows.
 
-Shadow samples could additionally be sharded (an 'sp'-style axis) — provided
-as `mesh_2d` for N>=4 meshes; the default is 1D DP.
+The FLAGSHIP composition (the one bench.py measures — rasterized primary
+visibility + sun-space shadow classifier + DDA residue) shards by
+per-band rasterization inside `jax.shard_map`: each device bbox-clips the
+replicated face set to its band and rasterizes only that band's tile
+entries (ops/rastertrace.py band mode), classifies its own shadow lanes,
+and runs the compaction-cascade DDA on its local residue. Fragment floats
+depend only on global pixel coordinates, so the banded frame is
+bit-identical to the single-chip frame (tests/test_parallel.py pins it).
 
-The sharded frame uses the ray-order kernels (raster=None): the exposed-face
-rasterizer scatters into the whole image, which under ray-DP would need a
-cross-shard scatter; per-shard rasterization of the pixel band is a possible
-extension (bbox-clip faces per band), not needed for the parity bar."""
+There are no collectives in the per-band hot loop; the only cross-device
+traffic is the row-sharded HDR image flowing into the post pass (bloom's
+mip chain reads across band edges — XLA inserts the halo/gather
+collectives, which ride ICI).
+"""
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,14 +53,67 @@ def replicate(mesh: Mesh, tree):
 
 
 def render_frame_sharded(mesh: Mesh, pyr, o, d, sun, time, cfg,
-                         svt_density=None, mirror_materials: bool = False):
-    """Jit the full frame over the mesh: rays DP-sharded, scene replicated.
-    Returns the final u8 image (replicated on host fetch)."""
-    from vvr_tpu.render.frame import render_frame
+                         svt_density=None, mirror_materials: bool = False,
+                         raster=None, sunmask=None, lights=None):
+    """The full frame jitted over the mesh: pixel rows DP-sharded, scene
+    replicated. With `raster`/`sunmask` this is the FLAGSHIP composition
+    (per-band rasterization + sun classifier + local DDA residue);
+    without them it is the ray-order frame. Returns (u8 image, hdr),
+    bit-identical to render_frame on one chip."""
+    from vvr_tpu.ops import post as post_ops
+    from vvr_tpu.ops import sky as sky_ops
+    from vvr_tpu.render.frame import raytrace_pass
+
+    ndev = mesh.devices.size
+    rh, rw = cfg.render_height, cfg.render_width
+    if rh % ndev != 0:
+        raise ValueError(f"render height {rh} not divisible by mesh size "
+                         f"{ndev}")
+    band_h = rh // ndev
+
     pyr = replicate(mesh, pyr)
+    raster = replicate(mesh, raster)
+    sunmask = replicate(mesh, sunmask)
+    svt_density = replicate(mesh, svt_density)
+    lights = replicate(mesh, lights)
     o, d = shard_rays(mesh, o, d)
     sun = jax.device_put(jnp.asarray(sun), NamedSharding(mesh, P()))
-    img, hdr = render_frame(pyr, o, d, sun, jnp.float32(time), cfg,
-                            svt_density=svt_density,
-                            mirror_materials=mirror_materials)
-    return img, hdr
+    time = jnp.float32(time)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def frame(pyr, o, d, sun, time, svt_density, lights, raster, sunmask):
+        clouds_tex = sky_ops.write_clouds(sun[:3], time,
+                                          cfg.clouds_resolution)
+        skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
+
+        def band_fn(pyr_b, o_b, d_b, sun_b, time_b, sky_b, clouds_b,
+                    svt_b, lights_b, raster_b, sunmask_b):
+            j0 = jax.lax.axis_index("rays") * band_h
+            rgb, alpha, _dbg = raytrace_pass(
+                pyr_b, o_b, d_b, sky_b, clouds_b, sun_b, time_b, cfg,
+                svt_density=svt_b, mirror_materials=mirror_materials,
+                lights=lights_b, raster=raster_b, sunmask=sunmask_b,
+                band=(j0, band_h))
+            return rgb, alpha
+
+        rgb, alpha = jax.shard_map(
+            band_fn, mesh=mesh,
+            in_specs=(P(), P("rays"), P("rays"), P(), P(), P(), P(), P(),
+                      P(), P(), P()),
+            out_specs=(P("rays"), P("rays")),
+            check_vma=False,
+        )(pyr, o, d, sun, time, skybox, clouds_tex, svt_density, lights,
+          raster, sunmask)
+
+        hdr = jnp.concatenate([rgb, alpha[:, None]], -1).reshape(rh, rw, 4)
+        if cfg.bloom_enabled:
+            bloom2 = post_ops.bloom_pyramid(hdr)
+        else:
+            bloom2 = jnp.zeros((max(rh >> 2, 1), max(rw >> 2, 1), 4),
+                               jnp.float32)
+        img = post_ops.composite(hdr, bloom2, cfg.height, cfg.width,
+                                 cfg.bloom_strength, cfg.bloom_enabled)
+        return img, hdr
+
+    return frame(pyr, o, d, sun, time, svt_density, lights, raster,
+                 sunmask)

@@ -86,14 +86,17 @@ def heatmap(x):
 
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
-                  lights=None, overlap_pyr=None, raster=None, sunmask=None):
+                  lights=None, overlap_pyr=None, raster=None, sunmask=None,
+                  band=None):
     """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
     acceleration structure (BrickPyramid or JumpGrid — make_tracer
     dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
     estimator needs when the tracer runs on the jump grid; `raster`
     (faces, cam, probe) switches bounce-0 visibility to the exposed-face
     rasterizer (ops/rastertrace.py) — rays must then be the unmasked
-    camera wavefront. Returns (rgb (N,3), alpha (N,), first-hit debug
+    camera wavefront; `band=(j0, band_h)` restricts the rasterizer to a
+    pixel-row band (multi-chip sharding: rays are then the band's own —
+    parallel/mesh.py). Returns (rgb (N,3), alpha (N,), first-hit debug
     dict)."""
     n = o.shape[0]
     size = pyr.size
@@ -114,8 +117,10 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         if bounce == 0 and raster is not None:
             from vvr_tpu.ops.rastertrace import trace_raster
             faces, rcam, probe = raster
+            j0, band_h = band if band is not None else (0, None)
             res = trace_raster(faces, rcam, d, probe, size,
-                               cfg.render_width, cfg.render_height)
+                               cfg.render_width, cfg.render_height,
+                               j0=j0, band_h=band_h)
         else:
             res = tr(o, d, active=active, with_stats=need_stats)
         hit = res.hit & active
@@ -198,11 +203,11 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         elif cfg.shadow_samples == 1:
             s_o = shadow_start + sun3 * 0.05
             sdir = jnp.broadcast_to(sun3, (n, 3))
-            if sunmask is not None and isinstance(pyr, JumpGrid):
+            if sunmask is not None:
                 from vvr_tpu.ops.sunshadow import masked_shadow_hits
                 sm_e1, sm_e2, sm_grids = sunmask
                 s_hit = masked_shadow_hits(
-                    tr, pyr.rows, s_o, sun3, sm_e1, sm_e2, sm_grids,
+                    tr, s_o, sun3, sm_e1, sm_e2, sm_grids,
                     shadow_active, size,
                     max(n // 10, 2048) if n >= 4096 else None)
             else:

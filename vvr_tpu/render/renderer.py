@@ -32,16 +32,20 @@ def _call_jit_selfhealing(fn, *args, **kwargs):
     ("Execution supplied 15 buffers but compiled program expected 25" —
     reproduced deterministically; the supplied count matches
     _shade_raster's leaf count). jax.clear_caches() + retry recovers; the
-    recompile only happens when the bug actually fires."""
+    recompile only happens when the bug actually fires.
+
+    Returns (result, fired): `fired` marks that a recompile landed inside
+    this call — the caller must taint any wall-clock sample it was timing
+    (Statistics.push_timing drops and tallies it)."""
     try:
-        return fn(*args, **kwargs)
+        return fn(*args, **kwargs), False
     except ValueError as e:
         if "buffers but compiled program expected" not in str(e):
             raise
         log.warning("pjit fast-path corruption detected (%s); clearing "
                     "jax caches and retrying", str(e)[:80])
         jax.clear_caches()
-        return fn(*args, **kwargs)
+        return fn(*args, **kwargs), True
 
 
 class Renderer:
@@ -69,10 +73,10 @@ class Renderer:
                                and render_cfg.debug_type == 6))
         if self.use_raster:
             self.scene.ensure_faces()
-        # sun-space occlusion classifier: hard shadows + jump grid only
+        # sun-space occlusion classifier: hard shadows (any tracer — the
+        # ambiguous residue runs whichever DDA the frame uses)
         self.use_sunmask = (render_cfg.sun_mask != "off"
-                            and render_cfg.shadow_samples == 1
-                            and self.use_jump)
+                            and render_cfg.shadow_samples == 1)
         self._sunmask_cache = None  # (sun_bytes, (e1, e2, grids))
         if self.use_sunmask:
             self.scene.ensure_faces()
@@ -138,7 +142,7 @@ class Renderer:
             raster = (self.scene.faces, rcam, probe)
         sunmask = self._sunmask() if self.use_sunmask else None
         t0 = _time.monotonic()
-        img, _hdr = _call_jit_selfhealing(
+        (img, _hdr), retried = _call_jit_selfhealing(
             render_frame,
             accel, o, d, jax.numpy.asarray(self.sun),
             jax.numpy.float32(t), self.cfg,
@@ -148,26 +152,41 @@ class Renderer:
             if self.cfg.point_lights else None,
             overlap_pyr=self.scene.pyramid if needs_overlap else None,
             raster=raster, sunmask=sunmask)
-        return self._finish_frame(img, t0, timed, fetch)
+        return self._finish_frame(img, t0, timed, fetch, tainted=retried)
 
     def _sunmask(self):
         """Conservative sun-space occlusion grids, rebuilt when the sun
-        direction changes (middle-mouse / --sun; ops/sunshadow.py)."""
-        key = self.sun[:3].tobytes()
+        direction OR the world changes (middle-mouse / --sun / edits —
+        the scene epoch is part of the cache key; ops/sunshadow.py).
+        On tile-entry overflow the build retries with a doubled cap
+        (each cap is its own jit specialization) — gridC must see every
+        occluder face or light-certainty would not be conservative."""
+        key = (self.sun[:3].tobytes(), getattr(self.scene, "epoch", 0))
         if self._sunmask_cache is None or self._sunmask_cache[0] != key:
             from vvr_tpu.ops.sunshadow import build_sun_grids, sun_basis
             e1, e2, s = sun_basis(self.sun[:3])
             e1j = jax.numpy.asarray(e1)
             e2j = jax.numpy.asarray(e2)
-            grids = build_sun_grids(self.scene.ensure_faces(), e1j, e2j,
-                                    jax.numpy.asarray(s), self.scene.size)
+            cap = 1 << 20
+            while True:
+                grids, gok = build_sun_grids(
+                    self.scene.ensure_faces(), e1j, e2j,
+                    jax.numpy.asarray(s), self.scene.size,
+                    cap_entries=cap)
+                if bool(gok) or cap >= (1 << 26):
+                    break
+                log.warning("sun-grid entry allocation overflowed at cap "
+                            "%d; rebuilding with %d", cap, cap * 2)
+                cap *= 2
             self._sunmask_cache = (key, (e1j, e2j, grids))
         return self._sunmask_cache[1]
 
-    def _finish_frame(self, img, t0, timed: bool, fetch: bool):
+    def _finish_frame(self, img, t0, timed: bool, fetch: bool,
+                      tainted: bool = False):
         if timed:
             np.asarray(img[-1, -1])  # sync: forces the frame, transfers 3 B
-            self.stats.push_timing((_time.monotonic() - t0) * 1e3)
+            self.stats.push_timing((_time.monotonic() - t0) * 1e3,
+                                   tainted=tainted)
         self.frame_count += 1
         res = self.stats.end_of_frame(self.frame_count)
         if res is not None:

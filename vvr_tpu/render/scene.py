@@ -37,6 +37,9 @@ class Scene:
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
     jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
     faces: object = None     # device face arrays for ops/rastertrace.py
+    epoch: int = 0           # world version: bump on ANY occupancy change
+                             # (WorldEditor sync) — cache keys (sun grids)
+                             # include it so derived structures invalidate
 
     def ensure_tree(self):
         """Build the reference-layout SVO buffers lazily (a parity /
@@ -59,13 +62,13 @@ class Scene:
         return self.jumpgrid
 
     def ensure_faces(self):
-        """Exposed-face arrays for the primary-ray rasterizer."""
+        """Exposed-face arrays (greedy-merged rectangles) for the
+        primary-ray rasterizer and the sun-shadow classifier."""
         if self.faces is None:
-            import jax.numpy as jnp
-            from vvr_tpu.world.faces import extract_faces
-            fs = extract_faces(assemble_dense(self.chunks, self.cfg.size))
-            self.faces = tuple(jnp.asarray(a) for a in
-                               (fs.vx, fs.vy, fs.vz, fs.axis, fs.sgn))
+            from vvr_tpu.world.faces import extract_merged_faces
+            fs = extract_merged_faces(
+                assemble_dense(self.chunks, self.cfg.size))
+            self.faces = fs.device_tuple()
         return self.faces
 
     @property

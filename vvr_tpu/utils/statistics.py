@@ -27,8 +27,17 @@ class Statistics:
         self.benchmark: Benchmark | None = None
         self.benchmark_duration_s = benchmark_duration_s
         self.last_result: dict | None = None
+        self.discarded_samples = 0
 
-    def push_timing(self, delta_ms: float):
+    def push_timing(self, delta_ms: float, tainted: bool = False):
+        """tainted=True marks a sample whose wall time includes non-frame
+        work (e.g. the pjit cache-corruption recovery recompile,
+        render/renderer.py): it is DROPPED — not averaged, not counted —
+        and tallied in `discarded_samples` (reported by benchmark
+        results) so measurements can never silently absorb a recompile."""
+        if tainted:
+            self.discarded_samples += 1
+            return
         self.delta_ms_buffer = [delta_ms] + self.delta_ms_buffer[:-1]
 
     def average_ms(self) -> float:
@@ -48,7 +57,8 @@ class Statistics:
             avg = sum(b.timings) / n
             var = sum((x - avg) ** 2 for x in b.timings)
             stddev = var ** 0.5 / n  # statistics.rs:59 (their normalization)
-            self.last_result = dict(samples=n, avg_ms=avg, stddev=stddev)
+            self.last_result = dict(samples=n, avg_ms=avg, stddev=stddev,
+                                    discarded=self.discarded_samples)
             self.benchmark = None
             return self.last_result
         return None

@@ -51,11 +51,8 @@ class WorldEditor:
         return self.faces
 
     def _build_faces(self):
-        import jax.numpy as jnp
-        from vvr_tpu.world.faces import extract_faces
-        fs = extract_faces(self._occ)
-        return tuple(jnp.asarray(a) for a in (fs.vx, fs.vy, fs.vz,
-                                              fs.axis, fs.sgn))
+        from vvr_tpu.world.faces import extract_merged_faces
+        return extract_merged_faces(self._occ).device_tuple()
 
     def attach_jump_grid(self, grid):
         """Keep a JumpGrid (ops/jump.py's structure) in sync with edits.

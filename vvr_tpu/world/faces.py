@@ -27,15 +27,36 @@ import numpy as np
 
 @dataclasses.dataclass
 class FaceSet:
+    """Axis-aligned face rectangles: (vx, vy, vz) is the MIN-corner solid
+    voxel; (eu, ev) are integer extents along the face's two in-plane axes
+    (u, v), with the per-axis mapping axis 0 -> (u=y, v=z),
+    axis 1 -> (u=x, v=z), axis 2 -> (u=x, v=y) — the same mapping the
+    rasterizer's coverage tests use (ops/rastertrace.py). Unit faces have
+    eu == ev == 1."""
+
     vx: np.ndarray
     vy: np.ndarray
     vz: np.ndarray
     axis: np.ndarray
     sgn: np.ndarray
     size: int
+    eu: np.ndarray = None
+    ev: np.ndarray = None
+
+    def __post_init__(self):
+        if self.eu is None:
+            self.eu = np.ones(len(self.vx), np.int32)
+        if self.ev is None:
+            self.ev = np.ones(len(self.vx), np.int32)
 
     def __len__(self):
         return len(self.vx)
+
+    def device_tuple(self):
+        import jax.numpy as jnp
+        return tuple(jnp.asarray(a) for a in
+                     (self.vx, self.vy, self.vz, self.axis, self.sgn,
+                      self.eu, self.ev))
 
 
 def extract_faces(occ: np.ndarray) -> FaceSet:
@@ -70,3 +91,96 @@ def extract_faces(occ: np.ndarray) -> FaceSet:
     axis = np.concatenate([p[3] for p in parts])
     sgn = np.concatenate([p[4] for p in parts])
     return FaceSet(vx, vy, vz, axis, sgn, size)
+
+
+def _exposed_mask(occ: np.ndarray, axis: int, sgn: int) -> np.ndarray:
+    """Exposed-face mask at solid-voxel positions for one (axis, sgn)."""
+    arr_ax = {0: 2, 1: 1, 2: 0}[axis]
+    nb = np.zeros_like(occ)
+    sl_src = [slice(None)] * 3
+    sl_dst = [slice(None)] * 3
+    if sgn == 1:
+        sl_src[arr_ax] = slice(1, None)
+        sl_dst[arr_ax] = slice(0, -1)
+    else:
+        sl_src[arr_ax] = slice(0, -1)
+        sl_dst[arr_ax] = slice(1, None)
+    nb[tuple(sl_dst)] = occ[tuple(sl_src)]
+    return occ & ~nb
+
+
+def _merge_layer_runs(mask_wvu: np.ndarray):
+    """Greedy rectangle merge of a [w, v, u] bool mask: run-length along u,
+    then fuse identical (w, u0, len) runs across consecutive v. Returns
+    (w, u0, v0, eu, ev) int32 arrays. Fully vectorized (no Python loop
+    over layers) — the u-merge is an edge-detect, the v-merge a
+    lexsort + group-run-length."""
+    nw, nv, nu = mask_wvu.shape
+    m = mask_wvu
+    left = np.zeros_like(m)
+    left[:, :, 1:] = m[:, :, :-1]
+    right = np.zeros_like(m)
+    right[:, :, :-1] = m[:, :, 1:]
+    sw, sv, su = np.nonzero(m & ~left)    # run starts, (w, v, u) sorted
+    ew, ev_, eu_ = np.nonzero(m & ~right)  # run ends, same order/pairing
+    del ew, ev_
+    length = (eu_ - su + 1).astype(np.int64)
+    # v-merge: group runs by (w, u0, len); within a group, consecutive v
+    # values fuse into one rectangle
+    order = np.lexsort((sv, length, su, sw))
+    w = sw[order]
+    v = sv[order]
+    u0 = su[order]
+    ln = length[order]
+    if len(w) == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, z, z, z
+    new = np.ones(len(w), bool)
+    new[1:] = ((w[1:] != w[:-1]) | (u0[1:] != u0[:-1])
+               | (ln[1:] != ln[:-1]) | (v[1:] != v[:-1] + 1))
+    gid = np.cumsum(new) - 1
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, len(w)))
+    del gid
+    return (w[starts].astype(np.int32), u0[starts].astype(np.int32),
+            v[starts].astype(np.int32), ln[starts].astype(np.int32),
+            counts.astype(np.int32))
+
+
+def extract_merged_faces(occ: np.ndarray) -> FaceSet:
+    """Exposed faces with coplanar greedy-rectangle merging: adjacent
+    same-(axis, sgn, plane) unit faces fuse into maximal rectangles
+    (u-runs, then v-fusion of identical runs). The merged set covers
+    exactly the same geometry as extract_faces — the rasterizers' coverage
+    tests are per-cell range tests, so fragments (and therefore per-pixel
+    winners) are identical; only the entry/face counts shrink (~10-40x on
+    terrain). No reference analog (the reference has no object-order path
+    for the raytracer; its mesher, src/voxel/meshes.rs:119-161, emits
+    per-cell quads unmerged)."""
+    occ = np.asarray(occ, bool)
+    size = occ.shape[0]
+    out = {k: [] for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev")}
+    # [z,y,x] -> [w,v,u] transpose per axis: axis0 (u=y,v=z,w=x): (2,0,1);
+    # axis1 (u=x,v=z,w=y): (1,0,2); axis2 (u=x,v=y,w=z): (0,1,2)
+    transp = {0: (2, 0, 1), 1: (1, 0, 2), 2: (0, 1, 2)}
+    for axis in (0, 1, 2):
+        for sgn in (0, 1):
+            mask = _exposed_mask(occ, axis, sgn).transpose(transp[axis])
+            w, u0, v0, eu, ev = _merge_layer_runs(mask)
+            if axis == 0:
+                vx, vy, vz = w, u0, v0
+            elif axis == 1:
+                vx, vy, vz = u0, w, v0
+            else:
+                vx, vy, vz = u0, v0, w
+            out["vx"].append(vx)
+            out["vy"].append(vy)
+            out["vz"].append(vz)
+            out["axis"].append(np.full(len(w), axis, np.int32))
+            out["sgn"].append(np.full(len(w), sgn, np.int32))
+            out["eu"].append(eu)
+            out["ev"].append(ev)
+    cat = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
+           for k, v in out.items()}
+    return FaceSet(cat["vx"], cat["vy"], cat["vz"], cat["axis"],
+                   cat["sgn"], size, cat["eu"], cat["ev"])
