@@ -205,7 +205,7 @@ def test_edits_update_faces():
     ed.attach_faces()
     ed.set_voxels(np.array([[31, 31, 10], [31, 32, 10]]), solid=False)
     fresh = extract_faces(ed.occupancy())
-    got = _expand_unit(*(np.asarray(a) for a in ed.faces))
+    got = _expand_unit(*(np.asarray(a) for a in ed.faces[:7]))
     want = np.stack([fresh.vx, fresh.vy, fresh.vz, fresh.axis, fresh.sgn],
                     1).astype(np.int64)
     assert len(got) == len(want)

@@ -101,3 +101,16 @@ def test_environment_approximations():
     spec = np.asarray(sky.environment_specular(d_up, r, sky_c, gnd_c))
     assert np.isfinite(spec).all()
     assert (spec >= 0).all()
+
+
+def test_sample_clouds_blocked_equals_plain():
+    # block_clouds/sample_clouds_blocked are the fast-regime gather form
+    # of sample_clouds — values must be IDENTICAL (same texels selected)
+    tex = sky.write_clouds(SUN_UP, 0.3, resolution=64)
+    blk = sky.block_clouds(tex)
+    rng = np.random.default_rng(7)
+    d = _dirs(500, rng)
+    pos = jnp.asarray(rng.uniform(-500, 500, (500, 3)), jnp.float32)
+    a = np.asarray(sky.sample_clouds(tex, d, pos))
+    b = np.asarray(sky.sample_clouds_blocked(blk, 64, d, pos))
+    np.testing.assert_array_equal(a, b)

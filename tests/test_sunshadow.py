@@ -159,3 +159,59 @@ def test_build_overflow_flag(small_world):
                             jnp.asarray(e2), jnp.asarray(s), occ.shape[0],
                             cap_entries=64)
     assert not bool(ok)
+
+
+@pytest.mark.parametrize("sun_i", range(3))
+def test_masked_packed_near_segment_matches_dda(small_world, sun_i):
+    """The packed path (coarse gate -> packed fine classify -> near-segment
+    walk + lifted re-classify -> packed DDA) must equal pure DDA at >= 4096
+    frame-exact surface starts (n >= 4096 engages the packed machinery;
+    accel engages the near segment)."""
+    from vvr_tpu.ops.jump import trace_jump, SHADOW_PHASE1, SHADOW_CASCADE
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+    _, _, occ = small_world
+    size = occ.shape[0]
+    sun = SUNS[sun_i]
+    e1, e2, s, grids = _grids(occ, sun)
+    grid = build_jump_grid(occ)
+
+    # frame-exact surface reconstruction (render/frame.py formulas),
+    # restricted to sun-facing faces like the frame's shadow_active
+    rng = np.random.default_rng(13 + sun_i)
+    o = rng.uniform(1.0, size - 1.0, (40000, 3)).astype(np.float32)
+    d = rng.normal(size=(40000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pre = trace_dense(occ, o, d)
+    hit = pre["hit"] & (pre["t"] > 0)
+    face = pre["face"][hit]
+    ax_c = pre["axis_coord"][hit]
+    oh, dh = o[hit], d[hit]
+    k = np.arange(len(face))
+    sgn = np.where(dh >= 0, 1.0, -1.0)
+    plane = ax_c.astype(np.float32) + np.where(sgn[k, face] < 0, 1.0, 0.0)
+    df = dh[k, face]
+    dist = (plane - oh[k, face]) / np.where(np.abs(df) < 1e-12, 1e-12, df)
+    world = oh + dh * dist[:, None]
+    world[k, face] = plane
+    normal = np.zeros_like(dh)
+    normal[k, face] = -sgn[k, face]
+    s_o = (world + sun[None, :] * BACK)[(normal @ sun) > 0]
+    assert len(s_o) >= 4096, "need enough surface starts to engage packing"
+    s_o = jnp.asarray(s_o[:8192].astype(np.float32))
+    n = s_o.shape[0]
+
+    def tr(ro, rd, active=None, pack_first=None, shadow=False,
+           with_stats=False):
+        return trace_jump(grid, ro, rd, max_steps=2048, active=active,
+                          pack_first=pack_first,
+                          phase1_groups=SHADOW_PHASE1 if shadow else 6,
+                          cascade=SHADOW_CASCADE if shadow else None)
+
+    act = jnp.ones((n,), bool)
+    got = np.asarray(masked_shadow_hits(
+        tr, s_o, jnp.asarray(sun), jnp.asarray(e1), jnp.asarray(e2),
+        grids, act, size, max(n // 10, 2048), accel=grid))
+    want = np.asarray(trace_jump(
+        grid, s_o, jnp.broadcast_to(jnp.asarray(sun), (n, 3)),
+        max_steps=4096).hit)
+    np.testing.assert_array_equal(got, want)

@@ -96,6 +96,14 @@ class RenderConfig:
     # Sky resources (reference: src/skybox.rs:43-45)
     skybox_resolution: int = 256
     clouds_resolution: int = 512
+    sky_cache_quantum: float = 0.25  # sky/cloud textures are regenerated
+                                    # only when (sun, quantize(time)) moves
+                                    # to a new bucket — the reference
+                                    # regenerates per frame but consumes the
+                                    # PREVIOUS frame's sky (1-frame latency,
+                                    # SURVEY.md §3.2); a 0.25 s quantum is
+                                    # the same class of approximation for
+                                    # ~10% of frame budget. 0 disables.
     # Post (reference: post_process_compute.slang)
     bloom_enabled: bool = True
     bloom_strength: float = 0.05

@@ -301,11 +301,23 @@ def trace_jump(grid: JumpGrid, ray_o, ray_d, max_steps: int = 2048,
         packed_mark = jnp.zeros((n,), bool).at[np_idx].set(p_valid,
                                                            mode="drop")
         overflow = active & ~packed_mark
-        rest = trace_jump(grid, ray_o, ray_d, max_steps=max_steps,
-                          active=overflow, compact=True, pack_first=None,
-                          fetch_every=fetch_every,
-                          phase1_groups=phase1_groups,
-                          with_stats=with_stats, cascade=cascade)
+        # full-width overflow net under lax.cond: zero device work unless
+        # the pack capacity actually overflowed (the trivial branch equals
+        # a trace over an empty active set — hit=False, t=BIG_T, face=0)
+        rest = jax.lax.cond(
+            jnp.any(overflow),
+            lambda _: trace_jump(grid, ray_o, ray_d, max_steps=max_steps,
+                                 active=overflow, compact=True,
+                                 pack_first=None, fetch_every=fetch_every,
+                                 phase1_groups=phase1_groups,
+                                 with_stats=with_stats, cascade=cascade),
+            lambda _: TraceResult(
+                hit=jnp.zeros((n,), bool), face=jnp.zeros((n,), I32),
+                axis_coord=jnp.zeros((n,), I32),
+                t=jnp.full((n,), F32(BIG_T)),
+                iterations=jnp.zeros((n,), I32),
+                fetches=jnp.zeros((n,), I32),
+                missed_pops=jnp.zeros((n,), I32)), None)
 
         def scat(a, b):
             return a.at[np_idx].set(jnp.where(p_valid, b, a[p_safe]),

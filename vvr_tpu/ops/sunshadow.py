@@ -13,16 +13,28 @@ what lets the classifier answer at the true hit point with no "lift"
 trick and no exact near-segment pre-pass (both of which round 2 needed
 when the grids were built from ALL faces).
 
+Depth bounds are AFFINE-INTERPOLATED per texel: every face is planar, so
+its depth along s is an affine function z(a, b) of the projected
+coordinates — evaluated at the 4 texel corners this gives exact
+per-texel min/max instead of the face's global z-range. This matters
+because the merged rectangles (world/faces.py) span large z ranges; with
+global bounds a single long slope face made its entire footprint
+ambiguous (the round-2 scheme), with affine bounds ambiguity shrinks to
+true silhouette texels.
+
 Two conservative grids over the projected world, built once per sun
-direction from the ANTI-SUN subset of the merged exposed-face rectangles
-(world/faces.py), interleaved into one (G^2, 2) f32 table:
+direction from the ANTI-SUN subset of the merged exposed-face rectangles,
+interleaved into one (G^2, 2) f32 table, plus a COARSE^2 block-reduced
+level (min of gridB / max of gridC over each block) that answers most
+lanes from the fast (<=64K-row) gather regime:
 
   gridB[t] = max over occluder faces FULLY covering texel t (quad shrunk
-             by SAFE) of the face's min depth along s. A query with
+             by SAFE) of the face's affine min depth over t. A query with
              z < gridB[t] - SAFE crosses that face strictly ahead ->
              CERTAINLY SHADOWED (the crossing enters solid).
   gridC[t] = max over occluder faces POSSIBLY touching t (bbox grown by
-             SAFE) of the face's max depth. A query with
+             SAFE) of the face's affine max depth over t (+ the SAFE
+             growth margin, clamped to the global max). A query with
              z > gridC[t] + SAFE has every possible entry crossing
              strictly behind -> CERTAINLY LIT.
 
@@ -37,12 +49,13 @@ gridC at a depth >= that, blocking the certain-light claim.
 
 The classifier is an optimization of the frame's shadow pass
 (raytracer.slang:326-351 semantics unchanged): certain lanes skip the
-traversal; ambiguous lanes (true silhouette texels) run the exact DDA.
-The one documented divergence: a certain-shadow answer asserts a real
-forward crossing, which equals the DDA's answer whenever the DDA
-terminates within its max_steps cap (a ray that would exhaust the cap
-reports miss where the classifier correctly reports hit; unreachable on
-the test corpus, ~2048 sub-steps).
+traversal; ambiguous lanes (true silhouette texels) run the exact DDA,
+front-packed so certain lanes pay no traversal gathers. The one
+documented divergence: a certain-shadow answer asserts a real forward
+crossing, which equals the DDA's answer whenever the DDA terminates
+within its max_steps cap (a ray that would exhaust the cap reports miss
+where the classifier correctly reports hit; unreachable on the test
+corpus, ~2048 sub-steps).
 """
 
 from __future__ import annotations
@@ -57,6 +70,7 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 GRID = 2048
+COARSE = 256      # block-reduced level; 256^2 = 64K rows = fast gathers
 SAFE = 0.02
 NEG = jnp.float32(-3e38)
 TK = 4          # texel-tile edge for the build's entry allocation
@@ -79,13 +93,15 @@ def sun_basis(sun3: np.ndarray):
 @functools.partial(jax.jit, static_argnames=("size", "grid", "cap_entries"))
 def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
                     cap_entries: int = 1 << 20):
-    """((gBC, a0, b0, ts), ok): conservative occlusion grids for sun
+    """((gBC, cBC, a0, b0, ts), ok): conservative occlusion grids for sun
     direction s. `faces` is the merged-rectangle device tuple
     (vx, vy, vz, axis, sgn, eu, ev). `ok` is a device bool scalar — False
     when the tile-entry allocation overflowed cap_entries, in which case
     gridC is NOT conservative and the caller must rebuild with a larger
     cap (renderer._sunmask retries) or disable the classifier."""
-    vx, vy, vz, axis, sgn, eu, ev = faces
+    vx, vy, vz, axis, sgn, eu, ev = faces[:7]
+    einfo = (faces[7] if len(faces) > 7
+             else jnp.zeros_like(vx))
     f = vx.shape[0]
     # projected extent of the world cube (conservative, fixed per size)
     corners = jnp.asarray(
@@ -157,6 +173,25 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     adet = jnp.maximum(jnp.abs(det), 1e-12)
     mu = SAFE * jnp.sqrt(va * va + vb * vb) / adet
     mv = SAFE * jnp.sqrt(ua * ua + ub * ub) / adet
+    # affine depth over the projection plane: z(a, b) = z0 + ga*(a - p0a)
+    # + gb*(b - p0b) — exact because the face is planar and the projection
+    # along s is linear. Degenerate (edge-on to s) faces keep (ga, gb)=0
+    # and fall back to their global z-range below.
+    z00 = czs[:, 0]
+    zu = czs[:, 2] - z00
+    zv = czs[:, 1] - z00
+    g_a = (vb * zu - ub * zv) * inv_det
+    g_b = (ua * zv - va * zu) * inv_det
+    # affine change across the SAFE texel growth (for gridC's max bound)
+    g_m = SAFE * (jnp.abs(g_a) + jnp.abs(g_b))
+    # internal-v-edge extensions (FaceSet.einfo): the full-cover test may
+    # extend 1 voxel (= 1/ev in barycentric) across an edge whose far row
+    # is covered by coplanar neighbors — they share this face's affine
+    # depth function, so zBv stays a valid lower bound of the crossing.
+    # Without this, every interior edge of the greedy-merge decomposition
+    # cut an ambiguity stripe through the shadow body (round-3 ledger).
+    x_v0 = (einfo & 1).astype(F32) / evf
+    x_v1 = ((einfo >> 1) & 1).astype(F32) / evf
 
     # ---- tile-entry allocation over the OUTER bbox (occluders only) ----
     tw = (oi1 - oi0) // TK + 1
@@ -196,13 +231,7 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         tex = j * grid + i
         fzmin = zmin[fidx][:, None]
         fzmax = zmax[fidx][:, None]
-        # gridC: possibly-touching -> max of zmax
-        gC = gC.at[jnp.where(ins, tex, grid * grid + 2).reshape(-1)].max(
-            jnp.broadcast_to(fzmax, ins.shape).reshape(-1), mode="drop")
-        # gridB: texel FULLY inside the shrunk quad -> max of zmin.
-        ta0 = a0 + i.astype(F32) * ts
-        tb0 = b0 + j.astype(F32) * ts
-        fully = ins & ~degenerate[fidx][:, None]
+        f_deg = degenerate[fidx][:, None]
         f_p0a = p0a[fidx][:, None]
         f_p0b = p0b[fidx][:, None]
         f_ua = ua[fidx][:, None]
@@ -212,7 +241,20 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         f_inv = inv_det[fidx][:, None]
         f_mu = mu[fidx][:, None]
         f_mv = mv[fidx][:, None]
-        # texel fully inside the SAFE-shrunk quad: all 4 texel corners
+        f_z0 = z00[fidx][:, None]
+        f_ga = g_a[fidx][:, None]
+        f_gb = g_b[fidx][:, None]
+        f_gm = g_m[fidx][:, None]
+        f_xv0 = x_v0[fidx][:, None]
+        f_xv1 = x_v1[fidx][:, None]
+        ta0 = a0 + i.astype(F32) * ts
+        tb0 = b0 + j.astype(F32) * ts
+        fully = ins & ~f_deg
+        zc_min = jnp.full(ins.shape, jnp.float32(3e38))
+        zc_max = jnp.full(ins.shape, NEG)
+        # 4 texel corners: the fully-inside test (SAFE-shrunk barycentric
+        # margins, extended across internal v edges) and the affine depth
+        # extrema in one pass
         for da_ in (0.0, 1.0):
             for db_ in (0.0, 1.0):
                 da = (ta0 + da_ * ts) - f_p0a
@@ -220,9 +262,23 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
                 uu = (da * f_vb - db * f_va) * f_inv
                 vv = (f_ua * db - f_ub * da) * f_inv
                 fully = fully & (uu > f_mu) & (uu < 1.0 - f_mu) \
-                    & (vv > f_mv) & (vv < 1.0 - f_mv)
+                    & (vv > f_mv - f_xv0) & (vv < 1.0 - f_mv + f_xv1)
+                zc = f_z0 + da * f_ga + db * f_gb
+                zc_min = jnp.minimum(zc_min, zc)
+                zc_max = jnp.maximum(zc_max, zc)
+        # gridC: possibly-touching -> affine max over the SAFE-grown texel
+        # (corner max + growth margin), clamped to the global max; edge-on
+        # faces use the global range
+        zCv = jnp.where(f_deg, fzmax,
+                        jnp.minimum(fzmax, zc_max + f_gm))
+        gC = gC.at[jnp.where(ins, tex, grid * grid + 2).reshape(-1)].max(
+            jnp.broadcast_to(zCv, ins.shape).reshape(-1), mode="drop")
+        # gridB: texel FULLY inside the shrunk quad -> affine min over the
+        # texel (exact: affine extrema sit at region corners, and `fully`
+        # puts the whole texel inside the quad), capped by the global max
+        zBv = jnp.minimum(zc_min, fzmax)
         gB = gB.at[jnp.where(fully, tex, grid * grid + 2).reshape(-1)].max(
-            jnp.broadcast_to(fzmin, ins.shape).reshape(-1), mode="drop")
+            jnp.broadcast_to(zBv, ins.shape).reshape(-1), mode="drop")
         return start + CH, gB, gC
 
     _, gridB, gridC = jax.lax.while_loop(
@@ -230,15 +286,122 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     # interleave as one (G^2, 2) table: classify needs ONE 8 B row gather
     # instead of two 4 B gathers (measured 50 ms at 2M lanes)
     gBC = jnp.stack([gridB[:grid * grid], gridC[:grid * grid]], axis=1)
-    return (gBC, a0, b0, ts), ok
+    # coarse level: per-block min of gridB (a coarse-certain shadow implies
+    # every fine texel agrees) and max of gridC (coarse-certain light
+    # implies every fine texel agrees). grid is j-major: tex = j*grid + i.
+    bf = grid // COARSE
+    cB = gridB[:grid * grid].reshape(COARSE, bf, COARSE, bf).min((1, 3))
+    cC = gridC[:grid * grid].reshape(COARSE, bf, COARSE, bf).max((1, 3))
+    cBC = jnp.stack([cB.reshape(-1), cC.reshape(-1)], axis=1)
+    return (gBC, cBC, a0, b0, ts), ok
+
+
+def _certain(qz, rowB, rowC, inb, back):
+    """The two certainty tests (shadow at the ray start's depth, light at
+    the surface point's depth — see masked_shadow_hits docstring)."""
+    certain_shadow = inb & (qz < rowB - SAFE)
+    certain_light = inb & (qz - back > rowC + SAFE)
+    return certain_shadow, certain_light
+
+
+NEAR_K = 6   # near-segment length in voxel crossings
+
+
+def _near_segment(grid, p_o, sun3, K: int = NEAR_K):
+    """Exact walk of the first K voxel crossings from p_o along the unit
+    sun direction, against the jump grid's brick occupancy. Returns
+    (hit, exited, t_end): hit = entered a solid voxel within the segment
+    (binary-equal to the full DDA's eventual answer); exited = left the
+    world (certain miss); t_end = the entry parameter of the last visited
+    EMPTY cell — the "lifted" re-classification point (its projection
+    texel equals the query's: moving along s leaves (a, b) unchanged,
+    only the depth grows by t_end).
+
+    Why this exists: ambiguous lanes are silhouette texels — their answer
+    is usually LOCAL (the step wall right next to the surface). Hits
+    resolve here in 1-3 cells; misses lift the query's depth above the
+    local wall's gridC so the certain-light test fires, sparing the full
+    DDA a world-length march for rays the grids already understand
+    (round-2's full-width near_occlusion prepass, reborn packed and
+    grid-assisted). Stepping formulas are ops/jump.py's plain voxel step
+    (same floats => same cell sequence as the exact tracer)."""
+    size, g, rows = grid.size, grid.gsize, grid.rows
+    ox, oy, oz = p_o[:, 0], p_o[:, 1], p_o[:, 2]
+    dx, dy, dz = sun3[0], sun3[1], sun3[2]
+    big = jnp.float32(3e38)
+    ix_ = jnp.where(dx == 0.0, big, 1.0 / dx)
+    iy_ = jnp.where(dy == 0.0, big, 1.0 / dy)
+    iz_ = jnp.where(dz == 0.0, big, 1.0 / dz)
+    px_ = (dx > 0).astype(I32)
+    py_ = (dy > 0).astype(I32)
+    pz_ = (dz > 0).astype(I32)
+    n = p_o.shape[0]
+    vx = jnp.clip(jnp.floor(ox).astype(I32), 0, size - 1)
+    vy = jnp.clip(jnp.floor(oy).astype(I32), 0, size - 1)
+    vz = jnp.clip(jnp.floor(oz).astype(I32), 0, size - 1)
+    t = jnp.zeros((n,), F32)
+    t_end = jnp.zeros((n,), F32)
+    hit = jnp.zeros((n,), bool)
+    exited = jnp.zeros((n,), bool)
+    alive = jnp.ones((n,), bool)
+    U32 = jnp.uint32
+    for _ in range(K):
+        addr = (vx >> 3) + (vy >> 3) * g + (vz >> 3) * g * g
+        r = jnp.take(rows, addr, axis=0, mode="clip")
+        lx, ly, lz = vx & 7, vy & 7, vz & 7
+        w = 2 * lz + (ly >> 2)
+        # 16-way word select (ops/jump.py _sel16 inline: binary tree)
+        gv = [r[:, k] for k in range(16)]
+        b0, b1, b2, b3 = (w & 1) == 0, (w & 2) == 0, (w & 4) == 0, \
+            (w & 8) == 0
+        a_ = [jnp.where(b0, gv[2 * k], gv[2 * k + 1]) for k in range(8)]
+        bb = [jnp.where(b1, a_[2 * k], a_[2 * k + 1]) for k in range(4)]
+        cc = [jnp.where(b2, bb[2 * k], bb[2 * k + 1]) for k in range(2)]
+        word = jnp.where(b3, cc[0], cc[1])
+        sh = (lx + ((ly & 3) << 3)).astype(U32)
+        solid = ((word >> sh) & U32(1)) == 1
+        hit = hit | (alive & solid)
+        alive = alive & ~solid
+        t_end = jnp.where(alive, t, t_end)
+        # plain voxel step (ops/jump.py alu formulas, no subcell skip)
+        bx = (vx + px_).astype(F32)
+        by = (vy + py_).astype(F32)
+        bz = (vz + pz_).astype(F32)
+        tx = jnp.where(dx == 0.0, big, (bx - ox) * ix_)
+        ty = jnp.where(dy == 0.0, big, (by - oy) * iy_)
+        tz = jnp.where(dz == 0.0, big, (bz - oz) * iz_)
+        te = jnp.minimum(tx, jnp.minimum(ty, tz))
+        nface = jnp.where(tz <= te, 2, jnp.where(ty <= te, 1, 0))
+        bxi = bx.astype(I32)
+        byi = by.astype(I32)
+        bzi = bz.astype(I32)
+        nvx = jnp.where(nface == 0, jnp.where(dx > 0, bxi, bxi - 1), vx)
+        nvy = jnp.where(nface == 1, jnp.where(dy > 0, byi, byi - 1), vy)
+        nvz = jnp.where(nface == 2, jnp.where(dz > 0, bzi, bzi - 1), vz)
+        oob = ((nvx < 0) | (nvx >= size) | (nvy < 0) | (nvy >= size)
+               | (nvz < 0) | (nvz >= size))
+        exited = exited | (alive & oob)
+        step = alive & ~oob
+        vx = jnp.where(step, nvx, vx)
+        vy = jnp.where(step, nvy, vy)
+        vz = jnp.where(step, nvz, vz)
+        t = jnp.where(step, te, t)
+        alive = step
+        # t_end stays at the entry of the last TESTED-empty cell; the next
+        # cell is untested until the following iteration's solid check
+    return hit, exited, t_end
 
 
 def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
-                       size: int, pack_cap, back: float = BACK):
-    """The frame's hard-shadow query with the classifier fast path: one
-    grid gather + two depth compares answers almost every lane; only
-    ambiguous lanes (silhouette texels and tight near-surface geometry)
-    run the full DDA (`tr`, the frame's shadow tracer).
+                       size: int, pack_cap, back: float = BACK,
+                       accel=None):
+    """The frame's hard-shadow query with the classifier fast path:
+    a coarse-grid gather (fast regime) answers the bulk of lanes; the
+    unresolved minority is front-packed for a fine-grid gather, and only
+    the still-ambiguous residue (true silhouette texels) runs the full
+    DDA (`tr`, the frame's shadow tracer) inside the packed buffer.
+    Lanes that overflow the pack capacity fall back to a full-width
+    fine classify + DDA under lax.cond — zero cost unless it fires.
 
     `s_o` is the DDA's own ray start — surface point + `back` along the
     sun. Shadow-certainty is evaluated at s_o's depth (the witness
@@ -251,39 +414,107 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
     Bit-equal to running the DDA for every lane wherever the DDA
     terminates within its max_steps cap (tests/test_sunshadow.py; see the
     module docstring for the cap divergence)."""
-    gBC, a0, b0, ts = grids
+    gBC, cBC, a0, b0, ts = grids
+    n = s_o.shape[0]
+    grid = GRID
+    bf = grid // COARSE
     inw = jnp.all((s_o >= 0) & (s_o < size), axis=-1)
     qa = s_o @ e1
     qb = s_o @ e2
     qz = s_o @ sun3
-    grid = GRID
     i = jnp.floor((qa - a0) / ts).astype(I32)
     j = jnp.floor((qb - b0) / ts).astype(I32)
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
-    row = jnp.take(gBC, tex, axis=0, mode="clip")
-    certain_shadow = inb & (qz < row[:, 0] - SAFE)
-    certain_light = inb & (qz - back > row[:, 1] + SAFE)
+    ctex = jnp.where(inb, (j // bf) * COARSE + (i // bf), 0)
+    crow = jnp.take(cBC, ctex, axis=0, mode="clip")
+    c_shadow, c_light = _certain(qz, crow[:, 0], crow[:, 1], inb, back)
 
-    known_hit = shadow_active & certain_shadow
-    known_miss = shadow_active & ~known_hit & (certain_light | ~inw)
-    amb = shadow_active & ~known_hit & ~known_miss
-    sdir = jnp.broadcast_to(sun3, s_o.shape)
-    dda_hit = tr(s_o, sdir, active=amb, pack_first=pack_cap,
-                 shadow=True).hit
+    known_hit = shadow_active & c_shadow
+    known_miss = shadow_active & ~known_hit & (c_light | ~inw)
+    unres = shadow_active & ~known_hit & ~known_miss
+    sdir_one = sun3
+
+    if pack_cap is None or n < 4096:
+        row = jnp.take(gBC, tex, axis=0, mode="clip")
+        f_shadow, f_light = _certain(qz, row[:, 0], row[:, 1], inb, back)
+        kh = shadow_active & f_shadow
+        km = shadow_active & ~kh & (f_light | ~inw)
+        amb = shadow_active & ~kh & ~km
+        dda_hit = tr(s_o, jnp.broadcast_to(sdir_one, s_o.shape), active=amb,
+                     pack_first=pack_cap, shadow=True).hit
+        return jnp.where(kh, True, jnp.where(km, False, dda_hit))
+
+    # ---- packed fine classify + near segment + packed DDA ----
+    cap1 = max(n // 4, 4096)
+    cap2 = max(n // 32, 2048)
+    idx = jnp.nonzero(unres, size=cap1, fill_value=n)[0]
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    p_o = s_o[safe]
+    p_row = jnp.take(gBC, tex[safe], axis=0, mode="clip")
+    p_qz = qz[safe]
+    p_inb = inb[safe]
+    p_shadow, p_light = _certain(p_qz, p_row[:, 0], p_row[:, 1], p_inb, back)
+    p_shadow = p_shadow & valid
+    p_amb = valid & ~p_shadow & ~p_light
+    near_hit = jnp.zeros((cap1,), bool)
+    if accel is not None:
+        # silhouette lanes resolve locally: exact K-crossing walk, then
+        # re-classify at the lifted depth with the SAME fine-grid row.
+        # Packed a second time — the ambiguous subset is a fraction of the
+        # coarse-unresolved pack (bench: 122K of 406K), and the walk costs
+        # K gathers per lane.
+        cap1b = max(cap1 // 4, 2048)
+        aidx = jnp.nonzero(p_amb, size=cap1b, fill_value=cap1)[0]
+        a_valid = aidx < cap1
+        a_safe = jnp.minimum(aidx, cap1 - 1)
+        nh, nexit, t_end = _near_segment(accel, p_o[a_safe], sun3)
+        a_lift = p_qz[a_safe] + t_end > p_row[a_safe, 1] + SAFE
+        a_resolved = a_valid & (nh | nexit | a_lift)
+        near_hit = jnp.zeros((cap1,), bool).at[aidx].set(
+            a_valid & nh, mode="drop")
+        resolved = jnp.zeros((cap1,), bool).at[aidx].set(
+            a_resolved, mode="drop")
+        a_mark = jnp.zeros((cap1,), bool).at[aidx].set(a_valid,
+                                                       mode="drop")
+        # lanes beyond cap1b skip the walk and go straight to the DDA
+        p_amb = p_amb & ~(a_mark & resolved)
+    p_dda = tr(p_o, jnp.broadcast_to(sdir_one, p_o.shape), active=p_amb,
+               pack_first=cap2, shadow=True).hit
+    p_hit = p_shadow | near_hit | (p_amb & p_dda)
+    packed_hits = jnp.zeros((n,), bool).at[idx].set(p_hit & valid,
+                                                    mode="drop")
+    packed_mark = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
+    overflow = unres & ~packed_mark
+
+    def of_fallback(_):
+        row = jnp.take(gBC, tex, axis=0, mode="clip")
+        f_shadow, f_light = _certain(qz, row[:, 0], row[:, 1], inb, back)
+        f_amb = overflow & ~f_shadow & ~f_light
+        f_dda = tr(s_o, jnp.broadcast_to(sdir_one, s_o.shape), active=f_amb,
+                   pack_first=pack_cap, shadow=True).hit
+        return jnp.where(overflow & f_shadow, True, f_amb & f_dda)
+
+    of_hits = jax.lax.cond(jnp.any(overflow), of_fallback,
+                           lambda _: jnp.zeros((n,), bool), None)
     return jnp.where(known_hit, True,
-                     jnp.where(known_miss, False, dda_hit))
+                     jnp.where(known_miss, False,
+                               jnp.where(packed_mark, packed_hits,
+                                         of_hits)))
 
 
 @functools.partial(jax.jit, static_argnames=("size", "grid"))
 def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     """(certain_shadow, certain_light) for ray starts `points` (N, 3)
-    toward the sun. Exact for points in empty space; points inside solid
-    may be wrongly light-certain (see module docstring) — callers with
-    possibly-buried starts must use a back-margin like masked_shadow_hits.
+    toward the sun, from the FINE grid (the coarse level is an internal
+    fast path of masked_shadow_hits; its certainty implies this one).
+    Exact for points in empty space; points inside solid may be wrongly
+    light-certain (see module docstring) — callers with possibly-buried
+    starts must use a back-margin like masked_shadow_hits.
     Out-of-world starts are never `certain` — the DDA's origin-outside
     rule (miss) applies and the caller handles it."""
-    gBC, a0, b0, ts = grids
+    gBC, cBC, a0, b0, ts = grids
     inw = jnp.all((points >= 0) & (points < size), axis=-1)
     qa = points @ e1
     qb = points @ e2

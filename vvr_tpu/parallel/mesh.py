@@ -105,15 +105,18 @@ def render_frame_sharded(mesh: Mesh, pyr, o, d, sun, time, cfg,
         )(pyr, o, d, sun, time, skybox, clouds_tex, svt_density, lights,
           raster, sunmask)
 
-        hdr = jnp.concatenate([rgb, alpha[:, None]], -1).reshape(rh, rw, 4)
+        hdr_p = jnp.stack([rgb[:, 0].reshape(rh, rw),
+                           rgb[:, 1].reshape(rh, rw),
+                           rgb[:, 2].reshape(rh, rw),
+                           alpha.reshape(rh, rw)], 0)
         if cfg.bloom_enabled:
-            bloom2 = post_ops.bloom_pyramid(hdr)
+            bloom2 = post_ops.bloom_pyramid_p(hdr_p)
         else:
-            bloom2 = jnp.zeros((max(rh >> 2, 1), max(rw >> 2, 1), 4),
+            bloom2 = jnp.zeros((4, max(rh >> 2, 1), max(rw >> 2, 1)),
                                jnp.float32)
-        img = post_ops.composite(hdr, bloom2, cfg.height, cfg.width,
-                                 cfg.bloom_strength, cfg.bloom_enabled)
-        return img, hdr
+        img = post_ops.composite_p(hdr_p, bloom2, cfg.height, cfg.width,
+                                   cfg.bloom_strength, cfg.bloom_enabled)
+        return img, jnp.transpose(hdr_p, (1, 2, 0))
 
     return frame(pyr, o, d, sun, time, svt_density, lights, raster,
                  sunmask)

@@ -110,6 +110,9 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     sun3 = sun[:3]
     sun_col = sky_ops.sun_colour(sun3)
     sun_colour_final = jnp.where(sun3[1] > 0, 3.2 * sun_col, 0.0)
+    # 2x2-blocked cloud table: the full-width cloud-shadow gather indexes
+    # 64K rows (fast regime) instead of 256K (ops/sky.py block_clouds)
+    clouds_blk = sky_ops.block_clouds(clouds_tex)
 
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
@@ -197,7 +200,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
                 s_hit = tr(s_o, sdir, active=shadow_active,
                            pack_first=pack_cap, shadow=True).hit
-                cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
+                cl = sky_ops.sample_clouds_blocked(
+                    clouds_blk, cfg.clouds_resolution, sdir, shadow_start)
                 shadow = shadow + jnp.where(
                     s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
         elif cfg.shadow_samples == 1:
@@ -209,11 +213,13 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 s_hit = masked_shadow_hits(
                     tr, s_o, sun3, sm_e1, sm_e2, sm_grids,
                     shadow_active, size,
-                    max(n // 10, 2048) if n >= 4096 else None)
+                    max(n // 10, 2048) if n >= 4096 else None,
+                    accel=pyr if isinstance(pyr, JumpGrid) else None)
             else:
                 s_hit = tr(s_o, sdir, active=shadow_active,
                            pack_first=pack_cap, shadow=True).hit
-            cl = sky_ops.sample_clouds(clouds_tex, sdir, shadow_start)
+            cl = sky_ops.sample_clouds_blocked(
+                clouds_blk, cfg.clouds_resolution, sdir, shadow_start)
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
         else:
             shadow = jnp.ones((n,), F32)
@@ -247,8 +253,38 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         out_rgb = jnp.where(shaded[:, None], colour * lit, out_rgb)
 
         miss = active & ~res.hit
-        sky_rgb = sky_ops.sample_skybox_and_clouds(skybox, clouds_tex, o, d)
-        out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
+        if n >= 4096:
+            # miss shader packed to miss lanes: the skybox/cloud gathers
+            # are the cost (393K/262K-row tables at ~20 ns/lane full
+            # width); sky pixels are a minority on terrain cameras. Lanes
+            # beyond the cap fall back to a full-width pass under
+            # lax.cond — zero device work unless a sky-dominated camera
+            # actually overflows. Per-lane values are identical (gather +
+            # elementwise math does not depend on batch shape).
+            mcap = max(n // 2, 4096)
+            midx = jnp.nonzero(miss, size=mcap, fill_value=n)[0]
+            mvalid = midx < n
+            msafe = jnp.minimum(midx, n - 1)
+            sky_p = sky_ops.sample_skybox_and_clouds(
+                skybox, clouds_tex, o[msafe], d[msafe])
+            out_rgb = out_rgb.at[midx].set(
+                jnp.where(mvalid[:, None], colour[msafe] * sky_p,
+                          out_rgb[msafe]), mode="drop")
+            mmark = jnp.zeros((n,), bool).at[midx].set(mvalid, mode="drop")
+            m_over = miss & ~mmark
+
+            def miss_fallback(_):
+                sky_rgb = sky_ops.sample_skybox_and_clouds(
+                    skybox, clouds_tex, o, d)
+                return jnp.where(m_over[:, None], colour * sky_rgb, 0.0)
+
+            out_rgb = out_rgb + jax.lax.cond(
+                jnp.any(m_over), miss_fallback,
+                lambda _: jnp.zeros((n, 3), F32), None)
+        else:
+            sky_rgb = sky_ops.sample_skybox_and_clouds(skybox, clouds_tex,
+                                                       o, d)
+            out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
         alpha = jnp.where(miss, 10.0, alpha)
 
         # mirror continuation (raytracer.slang:225-270)
@@ -288,15 +324,22 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
-                 lights=None, overlap_pyr=None, raster=None, sunmask=None):
+                 lights=None, overlap_pyr=None, raster=None, sunmask=None,
+                 sky=None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. `pyr` is either acceleration
     structure (see make_tracer); `raster` optionally supplies
-    (faces, cam, probe) for rasterized primary visibility. Returns
-    (u8 image (H, W, 3), hdr rgba (rh, rw, 4))."""
+    (faces, cam, probe) for rasterized primary visibility; `sky`
+    optionally supplies prebuilt (skybox, clouds) textures (the renderer's
+    cross-frame cache, renderer._sky — regenerated only when sun/quantized
+    time move). Returns (u8 image (H, W, 3), hdr rgba (rh, rw, 4))."""
     rh, rw = cfg.render_height, cfg.render_width
-    clouds_tex = sky_ops.write_clouds(sun[:3], time, cfg.clouds_resolution)
-    skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
+    if sky is not None:
+        skybox, clouds_tex = sky
+    else:
+        clouds_tex = sky_ops.write_clouds(sun[:3], time,
+                                          cfg.clouds_resolution)
+        skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
 
     rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
                                     cfg, svt_density, mirror_materials, lights,
@@ -305,11 +348,16 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
     if dbg_img is not None:
         rgb = dbg_img.reshape(-1, 3)
 
-    hdr = jnp.concatenate([rgb, alpha[:, None]], -1).reshape(rh, rw, 4)
+    # post runs planar (4, rh, rw) — channel-minor images leave 4/128
+    # lanes busy (ops/post.py layout note); the wavefront's flat (N,)
+    # component columns reshape straight into planes
+    hdr_p = jnp.stack([rgb[:, 0].reshape(rh, rw), rgb[:, 1].reshape(rh, rw),
+                       rgb[:, 2].reshape(rh, rw), alpha.reshape(rh, rw)], 0)
     if cfg.bloom_enabled and dbg_img is None:
-        bloom2 = post_ops.bloom_pyramid(hdr)
+        bloom2 = post_ops.bloom_pyramid_p(hdr_p)
     else:
-        bloom2 = jnp.zeros((max(rh >> 2, 1), max(rw >> 2, 1), 4), F32)
-    img = post_ops.composite(hdr, bloom2, cfg.height, cfg.width,
-                             cfg.bloom_strength, cfg.bloom_enabled and dbg_img is None)
-    return img, hdr
+        bloom2 = jnp.zeros((4, max(rh >> 2, 1), max(rw >> 2, 1)), F32)
+    img = post_ops.composite_p(hdr_p, bloom2, cfg.height, cfg.width,
+                               cfg.bloom_strength,
+                               cfg.bloom_enabled and dbg_img is None)
+    return img, jnp.transpose(hdr_p, (1, 2, 0))

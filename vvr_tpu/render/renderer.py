@@ -141,6 +141,7 @@ class Renderer:
                              jax.numpy.asarray(camera.position, np.float32))
             raster = (self.scene.faces, rcam, probe)
         sunmask = self._sunmask() if self.use_sunmask else None
+        sky = self._sky(t)
         t0 = _time.monotonic()
         (img, _hdr), retried = _call_jit_selfhealing(
             render_frame,
@@ -151,8 +152,29 @@ class Renderer:
             lights=jax.numpy.asarray(self.scene.lights)
             if self.cfg.point_lights else None,
             overlap_pyr=self.scene.pyramid if needs_overlap else None,
-            raster=raster, sunmask=sunmask)
+            raster=raster, sunmask=sunmask, sky=sky)
         return self._finish_frame(img, t0, timed, fetch, tainted=retried)
+
+    def _sky(self, t: float):
+        """Cross-frame sky/cloud texture cache (cfg.sky_cache_quantum):
+        the textures depend only on (sun, time); quantizing time means the
+        ~28 ms of sky passes amortize across frames instead of riding every
+        one. Quantum 0 disables (per-frame regeneration inside the jit,
+        the reference's behavior minus its 1-frame latency)."""
+        q = self.cfg.sky_cache_quantum
+        if q <= 0.0:
+            return None
+        from vvr_tpu.ops import sky as sky_ops
+        tq = float(int(t / q) * q)
+        key = (self.sun[:3].tobytes(), tq)
+        cache = getattr(self, "_sky_cache", None)
+        if cache is None or cache[0] != key:
+            sun = jax.numpy.asarray(self.sun[:3])
+            tj = jax.numpy.float32(tq)
+            sky = (sky_ops.write_skybox(sun, tj, self.cfg.skybox_resolution),
+                   sky_ops.write_clouds(sun, tj, self.cfg.clouds_resolution))
+            self._sky_cache = (key, sky)
+        return self._sky_cache[1]
 
     def _sunmask(self):
         """Conservative sun-space occlusion grids, rebuilt when the sun

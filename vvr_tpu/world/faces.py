@@ -42,12 +42,22 @@ class FaceSet:
     size: int
     eu: np.ndarray = None
     ev: np.ndarray = None
+    # internal-edge flags (bit0: the v0-1 edge row is fully covered by
+    # coplanar exposed faces; bit1: same for the v0+ev row). Greedy u-runs
+    # are maximal, so u edges are always true silhouettes; only v edges can
+    # be internal. Consumed by the sun-grid build (ops/sunshadow.py): a
+    # rectangle's full-cover test may extend 1 voxel across an internal
+    # edge because the coplanar neighbor covers it and shares the same
+    # affine depth function.
+    einfo: np.ndarray = None
 
     def __post_init__(self):
         if self.eu is None:
             self.eu = np.ones(len(self.vx), np.int32)
         if self.ev is None:
             self.ev = np.ones(len(self.vx), np.int32)
+        if self.einfo is None:
+            self.einfo = np.zeros(len(self.vx), np.int32)
 
     def __len__(self):
         return len(self.vx)
@@ -56,7 +66,7 @@ class FaceSet:
         import jax.numpy as jnp
         return tuple(jnp.asarray(a) for a in
                      (self.vx, self.vy, self.vz, self.axis, self.sgn,
-                      self.eu, self.ev))
+                      self.eu, self.ev, self.einfo))
 
 
 def extract_faces(occ: np.ndarray) -> FaceSet:
@@ -147,6 +157,31 @@ def _merge_layer_runs(mask_wvu: np.ndarray):
             counts.astype(np.int32))
 
 
+def _v_edge_internal(mask_wvu: np.ndarray, w, u0, v0, eu, ev) -> np.ndarray:
+    """Per-rectangle internal-v-edge flags (FaceSet.einfo): bit0 set when
+    row v0-1 is fully covered by the plane mask over [u0, u0+eu), bit1 for
+    row v0+ev. Chunked row-gather + cumsum (bounded memory at 1024^3)."""
+    nw, nv, nu = mask_wvu.shape
+    f = len(w)
+    flags = np.zeros(f, np.int32)
+    if f == 0:
+        return flags
+    for bit, voff in ((1, -1), (2, 0)):
+        vq = v0 + (voff if voff < 0 else ev)
+        okv = (vq >= 0) & (vq < nv)
+        idx = np.nonzero(okv)[0]
+        CH = 1 << 16
+        for c0 in range(0, len(idx), CH):
+            sel = idx[c0:c0 + CH]
+            rows = mask_wvu[w[sel], vq[sel], :]            # (C, nu) bool
+            cs = np.zeros((len(sel), nu + 1), np.int32)
+            np.cumsum(rows, axis=1, out=cs[:, 1:])
+            k = np.arange(len(sel))
+            cnt = cs[k, u0[sel] + eu[sel]] - cs[k, u0[sel]]
+            flags[sel[cnt == eu[sel]]] |= bit
+    return flags
+
+
 def extract_merged_faces(occ: np.ndarray) -> FaceSet:
     """Exposed faces with coplanar greedy-rectangle merging: adjacent
     same-(axis, sgn, plane) unit faces fuse into maximal rectangles
@@ -159,7 +194,8 @@ def extract_merged_faces(occ: np.ndarray) -> FaceSet:
     per-cell quads unmerged)."""
     occ = np.asarray(occ, bool)
     size = occ.shape[0]
-    out = {k: [] for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev")}
+    out = {k: [] for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
+                           "einfo")}
     # [z,y,x] -> [w,v,u] transpose per axis: axis0 (u=y,v=z,w=x): (2,0,1);
     # axis1 (u=x,v=z,w=y): (1,0,2); axis2 (u=x,v=y,w=z): (0,1,2)
     transp = {0: (2, 0, 1), 1: (1, 0, 2), 2: (0, 1, 2)}
@@ -167,6 +203,7 @@ def extract_merged_faces(occ: np.ndarray) -> FaceSet:
         for sgn in (0, 1):
             mask = _exposed_mask(occ, axis, sgn).transpose(transp[axis])
             w, u0, v0, eu, ev = _merge_layer_runs(mask)
+            einfo = _v_edge_internal(mask, w, u0, v0, eu, ev)
             if axis == 0:
                 vx, vy, vz = w, u0, v0
             elif axis == 1:
@@ -180,7 +217,8 @@ def extract_merged_faces(occ: np.ndarray) -> FaceSet:
             out["sgn"].append(np.full(len(w), sgn, np.int32))
             out["eu"].append(eu)
             out["ev"].append(ev)
+            out["einfo"].append(einfo)
     cat = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
            for k, v in out.items()}
     return FaceSet(cat["vx"], cat["vy"], cat["vz"], cat["axis"],
-                   cat["sgn"], size, cat["eu"], cat["ev"])
+                   cat["sgn"], size, cat["eu"], cat["ev"], cat["einfo"])
