@@ -114,3 +114,21 @@ def test_sample_clouds_blocked_equals_plain():
     a = np.asarray(sky.sample_clouds(tex, d, pos))
     b = np.asarray(sky.sample_clouds_blocked(blk, 64, d, pos))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sample_skybox_blocked_equals_plain():
+    box = sky.write_skybox(SUN_UP, 0.0, resolution=32)
+    blk = sky.block_skybox(box)
+    rng = np.random.default_rng(8)
+    d = _dirs(500, rng)
+    a = np.asarray(sky.sample_skybox(box, d))
+    b = np.asarray(sky.sample_skybox_blocked(blk, 32, d))
+    np.testing.assert_array_equal(a, b)
+    # and the combined miss shader
+    tex = sky.write_clouds(SUN_UP, 0.0, resolution=32)
+    cblk = sky.block_clouds(tex)
+    pos = jnp.asarray(rng.uniform(-500, 500, (500, 3)), jnp.float32)
+    m1 = np.asarray(sky.sample_skybox_and_clouds(box, tex, pos, d))
+    m2 = np.asarray(sky.sample_skybox_and_clouds_blocked(blk, 32, cblk, 32,
+                                                         pos, d))
+    np.testing.assert_array_equal(m1, m2)

@@ -215,3 +215,101 @@ def test_masked_packed_near_segment_matches_dda(small_world, sun_i):
         grid, s_o, jnp.broadcast_to(jnp.asarray(sun), (n, 3)),
         max_steps=4096).hit)
     np.testing.assert_array_equal(got, want)
+
+
+def test_masked_low_res_grids_still_exact(small_world):
+    """The interactive-sun drag path builds 512^2 grids (renderer.
+    set_sun_dragging); classification must stay conservative at ANY
+    resolution — lower res only widens the DDA residue."""
+    from vvr_tpu.ops.jump import trace_jump
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+    _, _, occ = small_world
+    size = occ.shape[0]
+    sun = SUNS[0]
+    e1, e2, s = sun_basis(sun)
+    g512, ok = build_sun_grids(_faces_dev(occ), jnp.asarray(e1),
+                               jnp.asarray(e2), jnp.asarray(s), size,
+                               grid=512, cap_entries=1 << 17)
+    assert bool(ok)
+    grid = build_jump_grid(occ)
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(0.5, size - 0.5, (9000, 3)).astype(np.float32)
+    cell = np.clip(np.floor(pts).astype(np.int64), 0, size - 1)
+    pts = pts[~occ[cell[:, 2], cell[:, 1], cell[:, 0]]][:8192]
+    n = len(pts)
+
+    def tr(ro, rd, active=None, pack_first=None, shadow=False,
+           with_stats=False):
+        return trace_jump(grid, ro, rd, max_steps=2048, active=active,
+                          pack_first=pack_first)
+
+    act = jnp.ones((n,), bool)
+    got = np.asarray(masked_shadow_hits(
+        tr, jnp.asarray(pts), jnp.asarray(sun), jnp.asarray(e1),
+        jnp.asarray(e2), g512, act, size, max(n // 10, 2048), accel=grid))
+    want = np.asarray(trace_jump(
+        grid, jnp.asarray(pts),
+        jnp.broadcast_to(jnp.asarray(sun), (n, 3)), max_steps=4096).hit)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_soft_shadow_cone_equals_pure_dda_frame(small_world):
+    """The CONE-classified soft-shadow pass (one classification shared by
+    all N jittered samples, soft_shadow_gate) must produce the IDENTICAL
+    frame to per-sample pure-DDA soft shadows."""
+    from vvr_tpu.config import RenderConfig, WorldConfig
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.render.scene import build_scene
+    from vvr_tpu.utils.camera import Camera
+
+    wcfg = WorldConfig(depth=3)
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    base = dict(width=96, height=64, shadow_samples=4, max_ray_iterations=2,
+                skybox_resolution=32, clouds_resolution=32,
+                traversal="jump")
+    scene = build_scene(wcfg, with_density=False)
+    r_mask = Renderer(wcfg, RenderConfig(**base, sun_mask="auto"),
+                      scene=scene)
+    r_dda = Renderer(wcfg, RenderConfig(**base, sun_mask="off"),
+                     scene=scene)
+    assert r_mask.use_sunmask and not r_dda.use_sunmask
+    img_m = np.asarray(r_mask.render(cam, time=0.0))
+    img_d = np.asarray(r_dda.render(cam, time=0.0))
+    np.testing.assert_array_equal(img_m, img_d)
+
+
+def test_cone_gate_agrees_with_per_sample_oracle(small_world):
+    """Cone-grid certainty must agree with EVERY jittered direction's
+    exact trace (the shared-classification soundness claim)."""
+    from vvr_tpu.ops.sunshadow import (CONE_TAN, SOFT_FWD,
+                                       soft_shadow_gate)
+    from vvr_tpu.utils.hash import hash33
+    _, _, occ = small_world
+    size = occ.shape[0]
+    sun = SUNS[0]
+    e1, e2, s = sun_basis(sun)
+    grids, ok = build_sun_grids(_faces_dev(occ), jnp.asarray(e1),
+                                jnp.asarray(e2), jnp.asarray(s), size,
+                                cone_tan=CONE_TAN)
+    assert bool(ok)
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0.5, size - 0.5, (9000, 3)).astype(np.float32)
+    cell = np.clip(np.floor(pts).astype(np.int64), 0, size - 1)
+    pts = pts[~occ[cell[:, 2], cell[:, 1], cell[:, 0]]][:6000]
+    n = len(pts)
+    act = jnp.ones((n,), bool)
+    kh, km = soft_shadow_gate(jnp.asarray(pts), jnp.asarray(sun),
+                              jnp.asarray(e1), jnp.asarray(e2), grids,
+                              act, size)
+    kh = np.asarray(kh)
+    km = np.asarray(km)
+    for samp in range(4):
+        r = np.asarray(hash33(jnp.asarray(pts) * 23.12123545
+                              + samp * 30.43324)) * 2.0 - 1.0
+        sd = sun[None, :] + r * 0.005
+        sd = (sd / np.linalg.norm(sd, axis=1, keepdims=True)).astype(
+            np.float32)
+        s_o = (pts + sun[None, :] * 0.004 + sd * 0.05).astype(np.float32)
+        hit = trace_dense(occ, s_o, sd, max_steps=100000)["hit"]
+        assert not (kh & ~hit).any(), "cone certain-shadow on a lit sample"
+        assert not (km & hit).any(), "cone certain-light on a hit sample"

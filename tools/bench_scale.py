@@ -1,0 +1,83 @@
+"""BASELINE configs 4 & 5 benchmarks (VERDICT r2 item #4).
+
+Config 4: 256^3, 1080p, 4-bounce mirrors + AO + soft shadows (4 jittered
+samples) + post — the reference's max-quality knobs (src/main.rs:37-47).
+Config 5: dynamic world at 1080p at the LARGE scale. The tree is 4-ary
+(sizes 4^depth: 64/256/1024), so the "512^3" staging config quantizes UP
+to the reference's own flagship scale 1024^3 (src/voxel/util.rs:5-6).
+Runs both the pyramid path (the previous default above 320^3) and the
+forced jump grid (--traversal jump) to measure the large-world structure
+choice.
+
+Usage: python tools/bench_scale.py [4|5|both]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def timed_frames(r, cam, n=4):
+    r.render(cam, timed=True)          # compile
+    r.render(cam, timed=True)          # warm
+    t0 = time.monotonic()
+    for i in range(n):
+        r.render(cam, time=i / 60.0, timed=True)
+    return (time.monotonic() - t0) / n * 1e3
+
+
+def config4():
+    from vvr_tpu.config import RenderConfig, WorldConfig
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.utils.camera import Camera
+    cfg = RenderConfig(width=1920, height=1080, shadow_samples=4,
+                       max_ray_iterations=4, ambient_occlusion=True)
+    t0 = time.monotonic()
+    r = Renderer(WorldConfig(depth=4), cfg, mirror_materials=True)
+    cam = Camera.look_at([128.0, 100.0, 20.0], [128.0, 20.0, 180.0],
+                         fov=85.0)
+    ms = timed_frames(r, cam)
+    rays = r.rays_per_frame  # primary + 4 shadow samples per pixel
+    print(json.dumps({
+        "config": 4, "desc": "256^3 1080p 4-bounce+AO+soft-shadows(4)",
+        "frame_ms": round(ms, 1), "fps": round(1e3 / ms, 2),
+        "mrays": round(rays / ms / 1e3, 2),
+        "setup_s": round(time.monotonic() - t0, 1)}), flush=True)
+
+
+def config5(traversal: str):
+    from vvr_tpu.config import RenderConfig, WorldConfig
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.utils.camera import Camera
+    cfg = RenderConfig(width=1920, height=1080, shadow_samples=1,
+                       max_ray_iterations=3, traversal=traversal)
+    t0 = time.monotonic()
+    r = Renderer(WorldConfig(depth=5), cfg, dynamic_world=True)
+    print(json.dumps({"config": 5, "stage": "setup",
+                      "traversal": traversal,
+                      "use_jump": r.use_jump, "use_raster": r.use_raster,
+                      "use_sunmask": r.use_sunmask,
+                      "setup_s": round(time.monotonic() - t0, 1)}),
+          flush=True)
+    cam = Camera.look_at([512.0, 400.0, 80.0], [512.0, 80.0, 720.0],
+                         fov=85.0)
+    ms = timed_frames(r, cam)
+    rays = r.rays_per_frame
+    print(json.dumps({
+        "config": 5, "desc": f"1024^3 dynamic 1080p ({traversal})",
+        "frame_ms": round(ms, 1), "fps": round(1e3 / ms, 2),
+        "mrays": round(rays / ms / 1e3, 2),
+        "mem": r.memory_report()}), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("4", "both"):
+        config4()
+    if which in ("5", "both"):
+        config5("jump")
+        config5("pyramid")

@@ -76,8 +76,11 @@ class App:
             log.info("device buffers: %s", r.memory_report())
         self.movement.update(inp, delta)
         # middle-mouse (held): sun follows the camera forward direction
-        # (renderer.rs:455-457)
-        if inp.get_button("set_sun").held():
+        # (renderer.rs:455-457); while held the classifier builds
+        # reduced-resolution grids so dragging stays interactive
+        dragging = inp.get_button("set_sun").held()
+        r.set_sun_dragging(dragging)
+        if dragging:
             f = self.movement.forward().astype(np.float32)
             f = f / max(np.linalg.norm(f), 1e-6)
             r.sun = np.concatenate([f, [0.0]]).astype(np.float32)

@@ -87,12 +87,12 @@ class RenderConfig:
                                     # the DDA's traversal counters),
                                     # "on" / "off" force it
     sun_mask: str = "auto"          # conservative sun-space occlusion
-                                    # classifier for hard shadows
-                                    # (ops/sunshadow.py): "auto" = on when
-                                    # shadow_samples == 1 and the jump
-                                    # grid is active (soft shadows jitter
-                                    # the direction, breaking the shared-
-                                    # projection assumption); "off"
+                                    # classifier (ops/sunshadow.py):
+                                    # hard shadows use exact grids; soft
+                                    # shadows (N>1) use CONE grids whose
+                                    # margins cover every jittered
+                                    # direction, so one classification
+                                    # serves all N samples; "off"
     # Sky resources (reference: src/skybox.rs:43-45)
     skybox_resolution: int = 256
     clouds_resolution: int = 512

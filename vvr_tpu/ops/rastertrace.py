@@ -218,12 +218,9 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
 
     tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
 
-    # ---- tile-entry allocation (tiles aligned to the GLOBAL TK grid so
-    # each entry maps 1:1 to a hi-z tile) ----
-    ti0 = imin // TK
-    tj0 = jmin // TK
-    tw = imax // TK - ti0 + 1
-    th_ = jmax // TK - tj0 + 1
+    # ---- tile-entry allocation ----
+    tw = (imax - imin) // TK + 1
+    th_ = (jmax - jmin) // TK + 1
     cnt = jnp.where(ok, tw * th_, 0)
     off = jnp.cumsum(cnt) - cnt                            # exclusive scan
     placed = ok & (off + cnt <= cap_entries)
@@ -240,131 +237,32 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     CH = min(cap_entries, 1 << 17)
     ent_face = jnp.concatenate([ent_face, jnp.zeros((CH,), I32)])
 
-    # per-entry face data: one gather from a packed (F, 14) i32 table
+    # per-entry face data: one gather from a packed (F, 12) i32 table
     ftab = jnp.stack([imin, jmin, imax, jmax, tw, off,
-                      vx, vy, vz, axis * 2 + sgn, feu, fev,
-                      ti0, tj0], axis=1)
+                      vx, vy, vz, axis * 2 + sgn, feu, fev], axis=1)
 
     # process entries in dynamic-trip chunks so the cost scales with the
     # camera's actual entry count, not the static capacity
     q = jnp.arange(TK * TK, dtype=I32)[None, :]
 
-    # ---- hi-z occlusion cull (object-order z-prepass) ----
-    # Pass A: per entry, if its tile is FULLY covered by the face (tile
-    # corner pixel centers strictly inside the projected convex quad) and
-    # the unnormalized depth t_un = C/raw_a is sign-consistent over the
-    # tile, scatter-min the tile's conservative far depth z_far = max
-    # corner t_un. Pass B: an entry whose min corner t_un exceeds its
-    # tile's z_far by a 1e-3 relative margin is provably beaten at every
-    # pixel (t_un ordering equals t ordering per ray; raw_a is affine in
-    # screen coords so its tile extrema sit at corners) — drop it before
-    # fragment scatter. The margin dwarfs the +-8-ulp reconstruction
-    # window, so culling never disturbs winner selection. Measured 3.6x
-    # fragment overdraw on the bench terrain -> ~1.4x after the cull.
-    pos_r, right_r, up_r, fwd_r, tan_half_r = cam
-    ratio = width / height
-    tx_s = tan_half_r
-    ty_s = tan_half_r / ratio
-    tpw = -(-width // TK)
-    tph = -(-height // TK)
-    zfar = jnp.full((tpw * tph + 1,), F32(BIG_T), F32)
-    ezmin = jnp.zeros((cap_entries + CH,), F32)   # 0 = not cullable
-    etile = jnp.zeros((cap_entries + CH,), I32)
-    per_edge = ((0, 1), (1, 3), (3, 2), (2, 0))
-
-    def hiz_body(c):
-        start, zf, ezm, etl = c
-        ek = start + jnp.arange(CH, dtype=I32)
-        ent_ok = ek < total
-        fidx = jnp.where(ent_ok, jax.lax.dynamic_slice(
-            ent_face, (start,), (CH,)), 0)
-        row = jnp.take(ftab, fidx, axis=0, mode="clip")
-        li = ek - row[:, 5]
-        tw_ = jnp.maximum(row[:, 4], 1)
-        ti = row[:, 12] + li % tw_
-        tj = row[:, 13] + li // tw_
-        x0 = ti.astype(F32) * TK + 0.5
-        x1 = ti.astype(F32) * TK + (TK - 0.5)
-        y0 = tj.astype(F32) * TK + 0.5
-        y1 = tj.astype(F32) * TK + (TK - 0.5)
-        qxc = jnp.take(ics, fidx, axis=0, mode="clip")     # (CH, 4)
-        qyc = jnp.take(jcs, fidx, axis=0, mode="clip")
-        # quad orientation (perimeter 0-1-3-2): signed area
-        area = jnp.zeros((CH,), F32)
-        for a, b in per_edge:
-            area = area + (qxc[:, a] * qyc[:, b] - qxc[:, b] * qyc[:, a])
-        orient = jnp.where(area >= 0, 1.0, -1.0)
-        inside = ent_ok & (jnp.abs(area) > 1e-6)
-        for a, b in per_edge:
-            ex = qxc[:, b] - qxc[:, a]
-            ey = qyc[:, b] - qyc[:, a]
-            elen = jnp.sqrt(ex * ex + ey * ey)
-            for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
-                cr = ex * (cy - qyc[:, a]) - ey * (cx - qxc[:, a])
-                inside = inside & (orient * cr >= 0.5 * elen)
-        # unnormalized depth at the 4 tile corners
-        e_ax = row[:, 9] >> 1
-        e_sgn = row[:, 9] & 1
-        e_plane = (jnp.where(e_ax == 0, row[:, 6],
-                             jnp.where(e_ax == 1, row[:, 7], row[:, 8]))
-                   + e_sgn).astype(F32)
-        o_a = jnp.where(e_ax == 0, pos_r[0],
-                        jnp.where(e_ax == 1, pos_r[1], pos_r[2]))
-        f_a = jnp.where(e_ax == 0, fwd_r[0],
-                        jnp.where(e_ax == 1, fwd_r[1], fwd_r[2]))
-        r_a = jnp.where(e_ax == 0, right_r[0],
-                        jnp.where(e_ax == 1, right_r[1], right_r[2]))
-        u_a = jnp.where(e_ax == 0, up_r[0],
-                        jnp.where(e_ax == 1, up_r[1], up_r[2]))
-        cc = e_plane - o_a
-        tun_min = jnp.full((CH,), F32(BIG_T))
-        tun_max = jnp.full((CH,), F32(-BIG_T))
-        sgn_ok = jnp.ones((CH,), bool)
-        for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
-            u = cx / width * 2.0 - 1.0
-            v = 1.0 - cy / height * 2.0
-            raw = f_a + u * tx_s * r_a + v * ty_s * u_a
-            tun = cc / jnp.where(raw == 0.0, F32(1e-30), raw)
-            sgn_ok = sgn_ok & (tun > 0.0)
-            tun_min = jnp.minimum(tun_min, tun)
-            tun_max = jnp.maximum(tun_max, tun)
-        in_buf = (ti >= 0) & (ti < tpw) & (tj >= 0) & (tj < tph)
-        tile = jnp.where(in_buf, tj * tpw + ti, tpw * tph)
-        contrib = inside & sgn_ok & in_buf
-        zf = zf.at[jnp.where(contrib, tile, tpw * tph)].min(
-            jnp.where(contrib, tun_max, F32(BIG_T)), mode="drop")
-        cullable = ent_ok & sgn_ok & in_buf
-        ezm = jax.lax.dynamic_update_slice(
-            ezm, jnp.where(cullable, tun_min, 0.0), (start,))
-        etl = jax.lax.dynamic_update_slice(etl, tile, (start,))
-        return start + CH, zf, ezm, etl
-
-    _, zfar, ezmin, etile = jax.lax.while_loop(
-        lambda c: c[0] < total, hiz_body,
-        (jnp.int32(0), zfar, ezmin, etile))
-    survive = (jnp.arange(cap_entries, dtype=I32) < total) & \
-        (ezmin[:cap_entries]
-         <= jnp.take(zfar, etile[:cap_entries], mode="clip") * 1.001
-         + 1e-3)
-    sidx = jnp.nonzero(survive, size=cap_entries,
-                       fill_value=cap_entries)[0]
-    sidx = jnp.concatenate([sidx, jnp.full((CH,), cap_entries, I32)])
-    total2 = jnp.sum(survive).astype(I32)
+    # (A hierarchical-z occlusion cull was built and measured here in
+    # round 3 — global-tile-aligned entries, per-tile far depth from
+    # fully-covering faces, provably-safe 1e-3 cull margin. NET NEGATIVE:
+    # only 15% of entries fully cover their tile on the bench terrain, so
+    # the cull removed too few fragments to pay for its prepass +20%
+    # entry inflation (138-155 ms -> 165-167 ms). Reverted; ledger in
+    # PROGRESS.md.)
 
     def chunk_body(c):
         start, tb = c
-        ek = jnp.where(
-            start + jnp.arange(CH, dtype=I32) < total2,
-            jax.lax.dynamic_slice(sidx, (start,), (CH,)), total)
+        ek = start + jnp.arange(CH, dtype=I32)
         ent_ok = ek < total
-        fidx = jnp.take(ent_face, jnp.minimum(ek, cap_entries - 1),
-                        mode="clip")
+        fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
         row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
-                       mode="clip")                        # (CH, 14)
+                       mode="clip")                        # (CH, 12)
         li = ek - row[:, 5]
-        tw_ = jnp.maximum(row[:, 4], 1)
-        base_i = (row[:, 12] + li % tw_) * TK
-        base_j = (row[:, 13] + li // tw_) * TK
+        base_i = row[:, 0] + TK * (li % jnp.maximum(row[:, 4], 1))
+        base_j = row[:, 1] + TK * (li // jnp.maximum(row[:, 4], 1))
         e_ax = row[:, 9] >> 1
         e_sgn = row[:, 9] & 1
         e_vx, e_vy, e_vz = row[:, 6], row[:, 7], row[:, 8]
@@ -373,8 +271,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
                    + e_sgn).astype(F32)
         i = base_i[:, None] + (q % TK)
         j = base_j[:, None] + (q // TK)
-        ins = (ent_ok[:, None] & (i >= row[:, 0][:, None])
-               & (i <= row[:, 2][:, None]) & (j >= row[:, 1][:, None])
+        ins = (ent_ok[:, None] & (i <= row[:, 2][:, None])
                & (j <= row[:, 3][:, None]))
         d = _ray_dir(i, j, cam, width, height)             # (CH, TK*TK, 3)
         ax2 = e_ax[:, None]
@@ -406,7 +303,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
             mode="drop")
         return start + CH, tb
 
-    _, tbuf = jax.lax.while_loop(lambda c: c[0] < total2, chunk_body,
+    _, tbuf = jax.lax.while_loop(lambda c: c[0] < total, chunk_body,
                                  (jnp.int32(0), tbuf))
 
     # full-screen safety net: straddling + allocation-overflow faces.

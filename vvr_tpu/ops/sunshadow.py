@@ -61,6 +61,7 @@ corpus, ~2048 sub-steps).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -90,15 +91,29 @@ def sun_basis(sun3: np.ndarray):
     return e1, e2, s
 
 
-@functools.partial(jax.jit, static_argnames=("size", "grid", "cap_entries"))
+CONE_TAN = 0.0087   # max angular deviation of the frame's jittered soft-
+                    # shadow directions: |rng|*0.005 <= 0.005*sqrt(3)
+                    # (render/frame.py), tan ~ angle at this size
+
+
+@functools.partial(jax.jit, static_argnames=("size", "grid", "cap_entries",
+                                             "cone_tan"))
 def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
-                    cap_entries: int = 1 << 20):
+                    cap_entries: int = 1 << 20, cone_tan: float = 0.0):
     """((gBC, cBC, a0, b0, ts), ok): conservative occlusion grids for sun
     direction s. `faces` is the merged-rectangle device tuple
     (vx, vy, vz, axis, sgn, eu, ev). `ok` is a device bool scalar — False
     when the tile-entry allocation overflowed cap_entries, in which case
     gridC is NOT conservative and the caller must rebuild with a larger
-    cap (renderer._sunmask retries) or disable the classifier."""
+    cap (renderer._sunmask retries) or disable the classifier.
+
+    cone_tan > 0 builds CONE grids for the soft-shadow pass: every margin
+    grows by cone_tan * (face z - world min z) — an upper bound of the
+    lateral deviation any jittered direction accumulates by the time it
+    reaches that face — so a certain answer holds for EVERY direction in
+    the cone at once (the N jittered samples share one classification;
+    only the ambiguous residue runs N per-sample DDAs —
+    raytracer.slang:332-342 semantics unchanged)."""
     vx, vy, vz, axis, sgn, eu, ev = faces[:7]
     einfo = (faces[7] if len(faces) > 7
              else jnp.zeros_like(vx))
@@ -149,14 +164,19 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     bmin = jnp.min(cb, -1)
     bmax = jnp.max(cb, -1)
 
-    # outer texel bbox (grown by SAFE)
-    oi0 = jnp.clip(jnp.floor((amin - SAFE - a0) / ts).astype(I32),
+    # per-face margin: SAFE plus (cone grids) the cone's lateral reach at
+    # this face's depth above the lowest possible query
+    wzmin = jnp.min(corners @ s)
+    grow = SAFE + cone_tan * jnp.maximum(zmax - wzmin, 0.0)
+
+    # outer texel bbox (grown by the face margin)
+    oi0 = jnp.clip(jnp.floor((amin - grow - a0) / ts).astype(I32),
                    0, grid - 1)
-    oi1 = jnp.clip(jnp.floor((amax + SAFE - a0) / ts).astype(I32),
+    oi1 = jnp.clip(jnp.floor((amax + grow - a0) / ts).astype(I32),
                    0, grid - 1)
-    oj0 = jnp.clip(jnp.floor((bmin - SAFE - b0) / ts).astype(I32),
+    oj0 = jnp.clip(jnp.floor((bmin - grow - b0) / ts).astype(I32),
                    0, grid - 1)
-    oj1 = jnp.clip(jnp.floor((bmax + SAFE - b0) / ts).astype(I32),
+    oj1 = jnp.clip(jnp.floor((bmax + grow - b0) / ts).astype(I32),
                    0, grid - 1)
 
     # half-plane form of the (shrunk) projected parallelogram: corners in
@@ -168,11 +188,11 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     det = ua * vb - ub * va
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
     degenerate = jnp.abs(det) < 1e-12
-    # world-distance SAFE as barycentric margins: the u-isolines are
+    # world-distance margin as barycentric margins: the u-isolines are
     # det/|v_edge| apart in the projection plane (and symmetrically for v)
     adet = jnp.maximum(jnp.abs(det), 1e-12)
-    mu = SAFE * jnp.sqrt(va * va + vb * vb) / adet
-    mv = SAFE * jnp.sqrt(ua * ua + ub * ub) / adet
+    mu = grow * jnp.sqrt(va * va + vb * vb) / adet
+    mv = grow * jnp.sqrt(ua * ua + ub * ub) / adet
     # affine depth over the projection plane: z(a, b) = z0 + ga*(a - p0a)
     # + gb*(b - p0b) — exact because the face is planar and the projection
     # along s is linear. Degenerate (edge-on to s) faces keep (ga, gb)=0
@@ -182,8 +202,11 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     zv = czs[:, 1] - z00
     g_a = (vb * zu - ub * zv) * inv_det
     g_b = (ua * zv - va * zu) * inv_det
-    # affine change across the SAFE texel growth (for gridC's max bound)
-    g_m = SAFE * (jnp.abs(g_a) + jnp.abs(g_b))
+    # affine change across the margin texel growth (for gridC's max
+    # bound) and across the cone reach (gridB's min must lower-bound
+    # crossings up to cone_m off the query's column)
+    g_m = grow * (jnp.abs(g_a) + jnp.abs(g_b))
+    g_bm = (grow - SAFE) * (jnp.abs(g_a) + jnp.abs(g_b))
     # internal-v-edge extensions (FaceSet.einfo): the full-cover test may
     # extend 1 voxel (= 1/ev in barycentric) across an edge whose far row
     # is covered by coplanar neighbors — they share this face's affine
@@ -245,6 +268,7 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         f_ga = g_a[fidx][:, None]
         f_gb = g_b[fidx][:, None]
         f_gm = g_m[fidx][:, None]
+        f_gbm = g_bm[fidx][:, None]
         f_xv0 = x_v0[fidx][:, None]
         f_xv1 = x_v1[fidx][:, None]
         ta0 = a0 + i.astype(F32) * ts
@@ -275,8 +299,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
             jnp.broadcast_to(zCv, ins.shape).reshape(-1), mode="drop")
         # gridB: texel FULLY inside the shrunk quad -> affine min over the
         # texel (exact: affine extrema sit at region corners, and `fully`
-        # puts the whole texel inside the quad), capped by the global max
-        zBv = jnp.minimum(zc_min, fzmax)
+        # puts the whole texel inside the quad), lowered by the cone reach
+        # (cone crossings land up to cone_m off the query's column; 0 for
+        # hard-shadow grids), capped by the global max
+        zBv = jnp.minimum(zc_min - f_gbm, fzmax)
         gB = gB.at[jnp.where(fully, tex, grid * grid + 2).reshape(-1)].max(
             jnp.broadcast_to(zBv, ins.shape).reshape(-1), mode="drop")
         return start + CH, gB, gC
@@ -289,9 +315,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     # coarse level: per-block min of gridB (a coarse-certain shadow implies
     # every fine texel agrees) and max of gridC (coarse-certain light
     # implies every fine texel agrees). grid is j-major: tex = j*grid + i.
-    bf = grid // COARSE
-    cB = gridB[:grid * grid].reshape(COARSE, bf, COARSE, bf).min((1, 3))
-    cC = gridC[:grid * grid].reshape(COARSE, bf, COARSE, bf).max((1, 3))
+    co = min(COARSE, grid)
+    bf = grid // co
+    cB = gridB[:grid * grid].reshape(co, bf, co, bf).min((1, 3))
+    cC = gridC[:grid * grid].reshape(co, bf, co, bf).max((1, 3))
     cBC = jnp.stack([cB.reshape(-1), cC.reshape(-1)], axis=1)
     return (gBC, cBC, a0, b0, ts), ok
 
@@ -349,17 +376,8 @@ def _near_segment(grid, p_o, sun3, K: int = NEAR_K):
         addr = (vx >> 3) + (vy >> 3) * g + (vz >> 3) * g * g
         r = jnp.take(rows, addr, axis=0, mode="clip")
         lx, ly, lz = vx & 7, vy & 7, vz & 7
-        w = 2 * lz + (ly >> 2)
-        # 16-way word select (ops/jump.py _sel16 inline: binary tree)
-        gv = [r[:, k] for k in range(16)]
-        b0, b1, b2, b3 = (w & 1) == 0, (w & 2) == 0, (w & 4) == 0, \
-            (w & 8) == 0
-        a_ = [jnp.where(b0, gv[2 * k], gv[2 * k + 1]) for k in range(8)]
-        bb = [jnp.where(b1, a_[2 * k], a_[2 * k + 1]) for k in range(4)]
-        cc = [jnp.where(b2, bb[2 * k], bb[2 * k + 1]) for k in range(2)]
-        word = jnp.where(b3, cc[0], cc[1])
-        sh = (lx + ((ly & 3) << 3)).astype(U32)
-        solid = ((word >> sh) & U32(1)) == 1
+        from vvr_tpu.world.occupancy import brick_solid
+        solid = brick_solid([r[:, k] for k in range(16)], lx, ly, lz)
         hit = hit | (alive & solid)
         alive = alive & ~solid
         t_end = jnp.where(alive, t, t_end)
@@ -416,8 +434,9 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
     module docstring for the cap divergence)."""
     gBC, cBC, a0, b0, ts = grids
     n = s_o.shape[0]
-    grid = GRID
-    bf = grid // COARSE
+    grid = int(math.isqrt(gBC.shape[0]))   # static under jit
+    co = int(math.isqrt(cBC.shape[0]))
+    bf = max(grid // co, 1)
     inw = jnp.all((s_o >= 0) & (s_o < size), axis=-1)
     qa = s_o @ e1
     qb = s_o @ e2
@@ -426,7 +445,7 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
     j = jnp.floor((qb - b0) / ts).astype(I32)
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
-    ctex = jnp.where(inb, (j // bf) * COARSE + (i // bf), 0)
+    ctex = jnp.where(inb, (j // bf) * co + (i // bf), 0)
     crow = jnp.take(cBC, ctex, axis=0, mode="clip")
     c_shadow, c_light = _certain(qz, crow[:, 0], crow[:, 1], inb, back)
 
@@ -504,8 +523,67 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
                                          of_hits)))
 
 
-@functools.partial(jax.jit, static_argnames=("size", "grid"))
-def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
+SOFT_FWD = 0.06   # bound on how far ahead of the surface point any
+                  # jittered sample's DDA start sits (0.004 along s +
+                  # 0.05 along the jittered direction, render/frame.py)
+
+
+def soft_shadow_gate(s_base, sun3, e1, e2, grids, shadow_active,
+                     size: int, fwd: float = SOFT_FWD):
+    """(known_hit, known_miss) full-width masks shared by ALL N jittered
+    soft-shadow samples, from CONE grids (build_sun_grids with
+    cone_tan=CONE_TAN): certain-shadow means every direction in the cone
+    crosses into solid strictly ahead of every sample start; certain-light
+    means none does. The residue (neither mask) runs the per-sample DDAs.
+    `s_base` is the SURFACE point (shadow_start) — sample starts sit at
+    most `fwd` ahead of it along s, and a crossing that buries a start
+    registers in gridC above the surface depth, blocking certain-light."""
+    gBC, cBC, a0, b0, ts = grids
+    n = s_base.shape[0]
+    grid = int(math.isqrt(gBC.shape[0]))
+    co = int(math.isqrt(cBC.shape[0]))
+    bf = max(grid // co, 1)
+    inw = jnp.all((s_base >= 0) & (s_base < size), axis=-1)
+    qa = s_base @ e1
+    qb = s_base @ e2
+    qz = s_base @ sun3
+    i = jnp.floor((qa - a0) / ts).astype(I32)
+    j = jnp.floor((qb - b0) / ts).astype(I32)
+    inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
+    tex = jnp.where(inb, j * grid + i, 0)
+    ctex = jnp.where(inb, (j // bf) * co + (i // bf), 0)
+    crow = jnp.take(cBC, ctex, axis=0, mode="clip")
+    c_shadow = inb & (qz + fwd < crow[:, 0] - SAFE)
+    c_light = inb & (qz > crow[:, 1] + SAFE)
+    known_hit = shadow_active & c_shadow
+    known_miss = shadow_active & ~known_hit & (c_light | ~inw)
+    unres = shadow_active & ~known_hit & ~known_miss
+    if n >= 4096:
+        cap1 = max(n // 4, 4096)
+        idx = jnp.nonzero(unres, size=cap1, fill_value=n)[0]
+        valid = idx < n
+        safe = jnp.minimum(idx, n - 1)
+        p_row = jnp.take(gBC, tex[safe], axis=0, mode="clip")
+        p_qz = qz[safe]
+        p_inb = inb[safe]
+        p_shadow = valid & p_inb & (p_qz + fwd < p_row[:, 0] - SAFE)
+        p_light = p_inb & (p_qz > p_row[:, 1] + SAFE)
+        known_hit = known_hit | jnp.zeros((n,), bool).at[idx].set(
+            p_shadow, mode="drop")
+        known_miss = known_miss | jnp.zeros((n,), bool).at[idx].set(
+            valid & ~p_shadow & p_light, mode="drop")
+        # lanes beyond cap1 stay unresolved (they just run the DDAs)
+    else:
+        row = jnp.take(gBC, tex, axis=0, mode="clip")
+        f_shadow = inb & (qz + fwd < row[:, 0] - SAFE)
+        f_light = inb & (qz > row[:, 1] + SAFE)
+        known_hit = shadow_active & f_shadow
+        known_miss = shadow_active & ~known_hit & (f_light | ~inw)
+    return known_hit, known_miss
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def classify(points, e1, e2, s, grids, size: int):
     """(certain_shadow, certain_light) for ray starts `points` (N, 3)
     toward the sun, from the FINE grid (the coarse level is an internal
     fast path of masked_shadow_hits; its certainty implies this one).
@@ -515,6 +593,7 @@ def classify(points, e1, e2, s, grids, size: int, grid: int = GRID):
     Out-of-world starts are never `certain` — the DDA's origin-outside
     rule (miss) applies and the caller handles it."""
     gBC, cBC, a0, b0, ts = grids
+    grid = int(math.isqrt(gBC.shape[0]))
     inw = jnp.all((points >= 0) & (points < size), axis=-1)
     qa = points @ e1
     qb = points @ e2

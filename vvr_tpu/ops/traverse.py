@@ -100,12 +100,9 @@ def _sel_level(level, values):
     return out
 
 
-def _bit64(lo, hi, bit):
-    """Test bit (0..63) of the (lo, hi) u32 pair."""
-    use_hi = bit >= 32
-    word = jnp.where(use_hi, hi, lo)
-    sh = (bit & 31).astype(U32)
-    return ((word >> sh) & U32(1)) == 1
+# bit layouts live in ONE module (world/occupancy.py) — a layout change
+# must not need coordinated edits across traverse/overlap/jump/sunshadow
+from vvr_tpu.world.occupancy import bit64 as _bit64  # noqa: E402
 
 
 def _sel8(g, sub, off):
@@ -123,16 +120,12 @@ def _sel8(g, sub, off):
 
 def solid_at(pyr: BrickPyramid, p):
     """Occupancy of the voxel containing position p ((..., 3) f32/int) —
-    one level-1 node-row gather + bit test (level-1 any bits ARE voxels)."""
-    size = pyr.size
-    v = jnp.clip(jnp.floor(jnp.asarray(p, F32)).astype(I32), 0, size - 1)
-    g = size >> 2
-    nx, ny, nz = v[..., 0] >> 2, v[..., 1] >> 2, v[..., 2] >> 2
-    addr = I32(pyr.bases[1]) + nx + ny * g + nz * g * g
-    row = jnp.take(pyr.rows_any, addr, axis=0, mode="clip")
-    bit = ((v[..., 0] & 3) | ((v[..., 1] & 3) << 2)
-           | ((v[..., 2] & 3) << 4)).astype(I32)
-    return _bit64(row[..., 0], row[..., 1], bit)
+    one level-1 node-row gather + bit test (level-1 any bits ARE voxels).
+    Out-of-world positions clip to the nearest voxel (camera probes)."""
+    from vvr_tpu.world.occupancy import pyramid_voxel_solid
+    v = jnp.clip(jnp.floor(jnp.asarray(p, F32)).astype(I32), 0,
+                 pyr.size - 1)
+    return pyramid_voxel_solid(pyr, v)
 
 
 def _addr_fns(pyr: BrickPyramid):

@@ -110,9 +110,10 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     sun3 = sun[:3]
     sun_col = sky_ops.sun_colour(sun3)
     sun_colour_final = jnp.where(sun3[1] > 0, 3.2 * sun_col, 0.0)
-    # 2x2-blocked cloud table: the full-width cloud-shadow gather indexes
-    # 64K rows (fast regime) instead of 256K (ops/sky.py block_clouds)
+    # blocked texture tables: full-width sky/cloud gathers index <=64K-row
+    # tables (the fast gather regime; ops/sky.py block_clouds/block_skybox)
     clouds_blk = sky_ops.block_clouds(clouds_tex)
+    skybox_blk = sky_ops.block_skybox(skybox)
 
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
@@ -191,6 +192,21 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         # cap overflow sends the excess to the full-width safety net)
         pack_cap = max((n * 9) // 10, 2048) if n >= 4096 else None
         if cfg.shadow_samples > 1:
+            # cone classifier (ops/sunshadow.py soft_shadow_gate): ONE
+            # classification answers all N jittered samples; only the
+            # residue runs N per-sample DDAs, front-packed
+            kh = jnp.zeros((n,), bool)
+            km = jnp.zeros((n,), bool)
+            dda_active = shadow_active
+            dda_cap = pack_cap
+            if sunmask is not None:
+                from vvr_tpu.ops.sunshadow import soft_shadow_gate
+                sm_e1, sm_e2, sm_grids = sunmask
+                kh, km = soft_shadow_gate(shadow_start, sun3, sm_e1,
+                                          sm_e2, sm_grids, shadow_active,
+                                          size)
+                dda_active = shadow_active & ~kh & ~km
+                dda_cap = max(n // 4, 2048) if n >= 4096 else None
             shadow = jnp.zeros((n,), F32)
             for s in range(cfg.shadow_samples):
                 rng = hash33(shadow_start * 23.12123545 + s * 30.43324) * 2.0 - 1.0
@@ -198,8 +214,9 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 strength = jnp.power(jnp.clip(
                     jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
                 s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
-                s_hit = tr(s_o, sdir, active=shadow_active,
-                           pack_first=pack_cap, shadow=True).hit
+                s_dda = tr(s_o, sdir, active=dda_active,
+                           pack_first=dda_cap, shadow=True).hit
+                s_hit = kh | (~km & s_dda)
                 cl = sky_ops.sample_clouds_blocked(
                     clouds_blk, cfg.clouds_resolution, sdir, shadow_start)
                 shadow = shadow + jnp.where(
@@ -253,38 +270,15 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         out_rgb = jnp.where(shaded[:, None], colour * lit, out_rgb)
 
         miss = active & ~res.hit
-        if n >= 4096:
-            # miss shader packed to miss lanes: the skybox/cloud gathers
-            # are the cost (393K/262K-row tables at ~20 ns/lane full
-            # width); sky pixels are a minority on terrain cameras. Lanes
-            # beyond the cap fall back to a full-width pass under
-            # lax.cond — zero device work unless a sky-dominated camera
-            # actually overflows. Per-lane values are identical (gather +
-            # elementwise math does not depend on batch shape).
-            mcap = max(n // 2, 4096)
-            midx = jnp.nonzero(miss, size=mcap, fill_value=n)[0]
-            mvalid = midx < n
-            msafe = jnp.minimum(midx, n - 1)
-            sky_p = sky_ops.sample_skybox_and_clouds(
-                skybox, clouds_tex, o[msafe], d[msafe])
-            out_rgb = out_rgb.at[midx].set(
-                jnp.where(mvalid[:, None], colour[msafe] * sky_p,
-                          out_rgb[msafe]), mode="drop")
-            mmark = jnp.zeros((n,), bool).at[midx].set(mvalid, mode="drop")
-            m_over = miss & ~mmark
-
-            def miss_fallback(_):
-                sky_rgb = sky_ops.sample_skybox_and_clouds(
-                    skybox, clouds_tex, o, d)
-                return jnp.where(m_over[:, None], colour * sky_rgb, 0.0)
-
-            out_rgb = out_rgb + jax.lax.cond(
-                jnp.any(m_over), miss_fallback,
-                lambda _: jnp.zeros((n, 3), F32), None)
-        else:
-            sky_rgb = sky_ops.sample_skybox_and_clouds(skybox, clouds_tex,
-                                                       o, d)
-            out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
+        # miss shader at full width from BLOCKED tables: the sky gathers
+        # index <=64K-row tables (fast regime) instead of 393K/262K rows,
+        # and no packing machinery is paid (a packed variant measured
+        # worse — the index gathers + scatter at the pack cap exceeded the
+        # blocked full-width gathers; round-3 ledger)
+        sky_rgb = sky_ops.sample_skybox_and_clouds_blocked(
+            skybox_blk, cfg.skybox_resolution, clouds_blk,
+            cfg.clouds_resolution, o, d)
+        out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
         alpha = jnp.where(miss, 10.0, alpha)
 
         # mirror continuation (raytracer.slang:225-270)

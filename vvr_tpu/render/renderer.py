@@ -73,10 +73,11 @@ class Renderer:
                                and render_cfg.debug_type == 6))
         if self.use_raster:
             self.scene.ensure_faces()
-        # sun-space occlusion classifier: hard shadows (any tracer — the
-        # ambiguous residue runs whichever DDA the frame uses)
+        # sun-space occlusion classifier: hard shadows use the exact
+        # grids; soft shadows (N jittered samples) use CONE grids — one
+        # classification shared by all samples (ops/sunshadow.py)
         self.use_sunmask = (render_cfg.sun_mask != "off"
-                            and render_cfg.shadow_samples == 1)
+                            and render_cfg.shadow_samples >= 1)
         self._sunmask_cache = None  # (sun_bytes, (e1, e2, grids))
         if self.use_sunmask:
             self.scene.ensure_faces()
@@ -176,6 +177,18 @@ class Renderer:
             self._sky_cache = (key, sky)
         return self._sky_cache[1]
 
+    def set_sun_dragging(self, dragging: bool):
+        """Interactive sun control (middle-mouse drag, app.py): while held,
+        _sunmask builds REDUCED-resolution grids (512^2 instead of 2048^2,
+        ~10x cheaper per sun direction) so dragging stays interactive;
+        the full-resolution grids are rebuilt on release. Classification
+        stays conservative at any resolution — lower resolution only
+        widens the ambiguous residue the exact DDA absorbs, so frames
+        remain exact throughout the drag. (The reference's middle-mouse
+        sun, src/renderer.rs:455-457, is instant because it has no
+        sun-dependent structure at all.)"""
+        self._sun_dragging = bool(dragging)
+
     def _sunmask(self):
         """Conservative sun-space occlusion grids, rebuilt when the sun
         direction OR the world changes (middle-mouse / --sun / edits —
@@ -183,18 +196,24 @@ class Renderer:
         On tile-entry overflow the build retries with a doubled cap
         (each cap is its own jit specialization) — gridC must see every
         occluder face or light-certainty would not be conservative."""
-        key = (self.sun[:3].tobytes(), getattr(self.scene, "epoch", 0))
+        lo = getattr(self, "_sun_dragging", False)
+        cone = self.cfg.shadow_samples > 1
+        key = (self.sun[:3].tobytes(), getattr(self.scene, "epoch", 0),
+               lo, cone)
         if self._sunmask_cache is None or self._sunmask_cache[0] != key:
-            from vvr_tpu.ops.sunshadow import build_sun_grids, sun_basis
+            from vvr_tpu.ops.sunshadow import (CONE_TAN, GRID,
+                                               build_sun_grids, sun_basis)
             e1, e2, s = sun_basis(self.sun[:3])
             e1j = jax.numpy.asarray(e1)
             e2j = jax.numpy.asarray(e2)
-            cap = 1 << 20
+            grid_res = 512 if lo else GRID
+            cap = (1 << 17) if lo else (1 << 20)
             while True:
                 grids, gok = build_sun_grids(
                     self.scene.ensure_faces(), e1j, e2j,
                     jax.numpy.asarray(s), self.scene.size,
-                    cap_entries=cap)
+                    grid=grid_res, cap_entries=cap,
+                    cone_tan=CONE_TAN if cone else 0.0)
                 if bool(gok) or cap >= (1 << 26):
                     break
                 log.warning("sun-grid entry allocation overflowed at cap "
