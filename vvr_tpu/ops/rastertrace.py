@@ -14,13 +14,18 @@ bit-equality with render/oracle.py on the test corpus):
   * the fragment t is the oracle's own entry formula
     (plane - o_axis) * (1/d_axis), with d recomputed per fragment by the
     raygen formulas (identical op sequence => identical floats);
-  * per-pixel winners are resolved by scatter-min over the monotonic bit
-    pattern of positive f32 t (IEEE positive floats order as unsigned
-    ints);
-  * the winning face is RECONSTRUCTED per pixel from t alone: for each
-    axis, the candidate planes floor/ceil of o + d*t are re-evaluated
-    through the same t formula and matched bit-for-bit; t-ties across
-    axes resolve z > y > x, the oracle's step tie rule;
+  * per-pixel winners are resolved by scatter-min over a monotonic u32
+    key: the bit pattern of positive f32 t (IEEE positive floats order
+    as unsigned ints), exponent-biased into 30 bits, with the fragment's
+    FACE AXIS in the 2 low bits. Only real fragments nominate an axis,
+    and exact cross-axis t-ties resolve x > y > z — the oracle steps
+    tied axes z -> y -> x and hits on the LAST step that enters solid,
+    so among real tied faces x wins (the engineered-tie test
+    test_adversarial_near_tie_winners pins this);
+  * the winning plane is RECONSTRUCTED per pixel from (t, axis): the
+    candidate planes floor/ceil of o + d*t along the DECODED axis are
+    re-evaluated through the same t formula and matched within a few
+    ulps — planes are >= 1 apart, so the match is unambiguous;
   * rays whose origin is outside the volume miss (trace_shi rule,
     shaders/ray_stuff_other.slang:424-437); a ray whose origin voxel is
     solid hits at t=0 with face=0 (oracle start-in-solid semantics).
@@ -51,7 +56,6 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
-AXIS_RANK = (2, 1, 0)  # x, y, z -> z wins ties (oracle z > y > x rule)
 
 
 def _ray_dir(i, j, cam, width: int, height: int):
@@ -157,6 +161,32 @@ def _f32_bits(t):
     return jax.lax.bitcast_convert_type(t, jnp.uint32)
 
 
+# the oracle steps tied axes in z -> y -> x order and hits on the LAST
+# step that enters solid, so among REAL tied faces x beats y beats z
+# (tests/test_raster_trace.py::test_adversarial_near_tie_winners found
+# the old fixed z>y>x reconstruction rank wrong at engineered exact ties)
+_BITS_BIAS = jnp.uint32(0x20000000)   # exponent 64: t >= 2^-63 assumed
+
+
+def _axis_key_dyn(t, axis):
+    """Monotonic u32 scatter key carrying the fragment's face axis in the
+    2 low bits: (t_bits - BIAS) << 2 | axis. Exponent-biasing makes room
+    (covered fragments have t far below 2^64, keeping the shifted value
+    under 2^32); ties in t then resolve by the oracle's step preference
+    (x > y > z among real faces), and the winner's AXIS is decoded from
+    the key — only real fragments ever nominate an axis, which is what
+    makes tie resolution exact."""
+    b = _f32_bits(t)
+    b = jnp.where(b > _BITS_BIAS, b - _BITS_BIAS, jnp.uint32(0))
+    pref = jnp.where(axis == 0, 0, jnp.where(axis == 1, 1, 2))
+    return (b << 2) | pref.astype(jnp.uint32)
+
+
+def _key_decode(key):
+    """(t_bits, axis) of a scatter key (valid only when key != SENTINEL)."""
+    return (key >> 2) + _BITS_BIAS, (key & 3).astype(I32)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "width", "height",
                                              "cap_entries", "cap_screen",
                                              "band_h"))
@@ -179,12 +209,13 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     d_rays: (H*W, 3) f32 — THE wavefront's own direction array (raygen
             output). Fragments recompute d by formula (cheap, but XLA's
             shape-dependent FMA contraction wobbles it ~1 ulp), so the
-            scatter key is approximate; the per-pixel reconstruction then
-            recomputes t/face/axis_coord from d_rays with the oracle's
-            exact formulas, matching the scattered winner within an ulp
-            window. Outputs are therefore oracle-exact except when two
-            distinct real faces lie within that window of each other
-            (validated empirically by tests/test_raster_trace.py).
+            key's t bits are approximate; the per-pixel reconstruction
+            recomputes the exact t/axis_coord from d_rays with the
+            oracle's formulas along the key's decoded axis. Residual
+            caveat: two distinct real faces of DIFFERENT axes whose true
+            t's differ by 1-3 ulps without being equal could swap under
+            the fragment wobble (exact ties are resolved exactly;
+            unobserved on any corpus incl. the engineered-tie test).
     solid_probe: () bool — whether the camera's origin voxel is solid
                  (start-in-solid rays hit at t=0, face=0)
 
@@ -299,7 +330,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         # uncovered fragments index out of bounds -> dropped, not written
         pix = jnp.where(cover, (j - j0) * width + i, n_pix + 1)
         tb = tb.at[pix.reshape(-1)].min(
-            jnp.where(cover, _f32_bits(t), SENTINEL).reshape(-1),
+            jnp.where(cover, _axis_key_dyn(t, ax2), SENTINEL).reshape(-1),
             mode="drop")
         return start + CH, tb
 
@@ -342,7 +373,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         v_0 = jnp.where(ax == 2, vy[fi], vz[fi])
         cover = ((t > 0.0) & (u_c >= u_0) & (u_c < u_0 + feu[fi])
                  & (v_c >= v_0) & (v_c < v_0 + fev[fi]))
-        newt = jnp.where(cover, _f32_bits(t), SENTINEL)
+        newt = jnp.where(cover, _axis_key_dyn(t, ax), SENTINEL)
         return tb.at[:n_pix].min(newt)
 
     def chunk_net(c):
@@ -370,40 +401,50 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
                                  (first, tbuf))
 
     # ---- per-pixel winner reconstruction (exact formulas on d_rays) ----
-    tbits = tbuf[:n_pix]
-    hit = tbits != SENTINEL
-    t_approx = jax.lax.bitcast_convert_type(tbits, F32)
+    # The key carries the winning face's AXIS (decoded below), so the
+    # reconstruction only has to locate WHICH PLANE of that axis the
+    # winner crossed — candidate planes are >= 1 apart, far outside the
+    # few-ulp fragment-d wobble, so the window match is unambiguous.
+    # Cross-axis ties were already resolved DURING the scatter by the
+    # oracle's step preference over real fragments.
+    key = tbuf[:n_pix]
+    hit = key != SENTINEL
+    wbits, face = _key_decode(key)
+    t_approx = jax.lax.bitcast_convert_type(wbits, F32)
     hpos = pos[None, :] + d_all * t_approx[:, None]       # (n_pix, 3)
-    face = jnp.zeros((n_pix,), I32)
+    d_a = jnp.where(face[:, None] == 0, d_all[:, :1],
+                    jnp.where(face[:, None] == 1, d_all[:, 1:2],
+                              d_all[:, 2:3]))[:, 0]
+    o_a = jnp.where(face == 0, pos[0],
+                    jnp.where(face == 1, pos[1], pos[2]))
+    h_a = jnp.where(face == 0, hpos[:, 0],
+                    jnp.where(face == 1, hpos[:, 1], hpos[:, 2]))
+    # the barrier stops XLA's algebraic simplifier from folding
+    # mul(x, 1/d) -> div(x, d): the oracle multiplies by the ROUNDED
+    # reciprocal, and the fold is 1 ulp off that (whether it fires
+    # depends on unrelated graph shape — it did after the round-3
+    # coverage rework)
+    inv_a = jax.lax.optimization_barrier(
+        jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a))
+    k0 = jnp.floor(h_a).astype(I32)
     axis_coord = jnp.zeros((n_pix,), I32)
     t_out = jnp.full((n_pix,), BIG_T, F32)
-    best_rank = jnp.full((n_pix,), 99, I32)
-    for a in range(3):
-        d_a = d_all[:, a]
-        # the barrier stops XLA's algebraic simplifier from folding
-        # mul(x, 1/d) -> div(x, d): the oracle multiplies by the ROUNDED
-        # reciprocal, and the fold is 1 ulp off that (whether it fires
-        # depends on unrelated graph shape — it did after the round-3
-        # coverage rework)
-        inv_a = jax.lax.optimization_barrier(
-            jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a))
-        k0 = jnp.floor(hpos[:, a]).astype(I32)
-        for kc in (0, 1):
-            plane = (k0 + kc).astype(F32)
-            ta = (plane - pos[a]) * inv_a
-            # within the scattered winner's ulp window (fragment-d FMA
-            # wobble propagates ~3 ulps through inv+mul), prefer smaller
-            # exact t, then the z > y > x step tie rule
-            window = jnp.abs(_f32_bits(ta).astype(jnp.int32)
-                             - tbits.astype(jnp.int32)) <= 8
-            better = (ta < t_out) | ((ta == t_out)
-                                     & (AXIS_RANK[a] < best_rank))
-            match = hit & window & (ta > 0.0) & better
-            vc = jnp.where(d_a > 0, k0 + kc, k0 + kc - 1)
-            face = jnp.where(match, a, face)
-            axis_coord = jnp.where(match, vc, axis_coord)
-            t_out = jnp.where(match, ta, t_out)
-            best_rank = jnp.where(match, AXIS_RANK[a], best_rank)
+    found = jnp.zeros((n_pix,), bool)
+    for kc in (0, 1):
+        plane = (k0 + kc).astype(F32)
+        ta = (plane - o_a) * inv_a
+        # within the scattered winner's ulp window (fragment-d FMA wobble
+        # propagates ~3 ulps through inv+mul); prefer the smaller exact t
+        # if both planes somehow land inside (unreachable: planes are
+        # >= 1 apart)
+        window = jnp.abs(_f32_bits(ta).astype(jnp.int32)
+                         - wbits.astype(jnp.int32)) <= 8
+        match = hit & window & (ta > 0.0) & (~found | (ta < t_out))
+        vc = jnp.where(d_a > 0, k0 + kc, k0 + kc - 1)
+        axis_coord = jnp.where(match, vc, axis_coord)
+        t_out = jnp.where(match, ta, t_out)
+        found = found | match
+    face = jnp.where(hit, face, 0)
 
     # start-in-solid: oracle hits at t=0, face=0, axis_coord = cell_x
     # (cell = clip(floor(o)) like the oracle's init)
