@@ -75,9 +75,13 @@ def config5(traversal: str):
 
 
 if __name__ == "__main__":
+    # one variant per process: two flagship-scale specializations in one
+    # process tripped transient TPU InvalidArgument errors on the second
+    # (suspected device-buffer accumulation through the axon tunnel)
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("4", "both"):
         config4()
     if which in ("5", "both"):
         config5("jump")
+    if which in ("5p", "both-p"):
         config5("pyramid")
