@@ -32,14 +32,18 @@ def main() -> int:
     r = Renderer(world_cfg, cfg)
     cam = Camera.look_at([128.0, 100.0, 20.0], [128.0, 20.0, 180.0], fov=85.0)
 
-    # warmup (compile) + timed frames
+    # warmup (compile) + timed frames. The per-frame MEDIAN is reported:
+    # the remote-TPU tunnel occasionally stalls a single frame by hundreds
+    # of ms (observed ~1 in 10 runs), which would corrupt a mean.
     for _ in range(2):
         r.render(cam, timed=True)
-    n_frames = 8
-    t0 = time.monotonic()
+    n_frames = 10
+    samples = []
     for i in range(n_frames):
+        t0 = time.monotonic()
         r.render(cam, time=i / 60.0, timed=True)
-    dt = (time.monotonic() - t0) / n_frames
+        samples.append(time.monotonic() - t0)
+    dt = sorted(samples)[n_frames // 2]
 
     rays = r.rays_per_frame
     mrays = rays / dt / 1e6
