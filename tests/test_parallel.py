@@ -6,6 +6,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jit_caches():
+    """jax 0.9 pjit fast-path corruption (renderer._call_jit_selfhealing):
+    after the raster-debug jits have run in this process (test_render's
+    close-up test), a trace_raster call can be served a STALE
+    pruned-argument list ("Execution supplied 15 buffers but compiled
+    program expected 17"). Clear the cache once at module entry so this
+    module's jits compile fresh regardless of test ordering."""
+    jax.clear_caches()
+    yield
+
 from vvr_tpu.config import RenderConfig
 from vvr_tpu.ops.raygen import camera_rays
 from vvr_tpu.ops.traverse import trace
@@ -53,7 +65,14 @@ def test_sharded_frame_matches_single(pyr):
     mesh = make_mesh(8)
     img8, _ = render_frame_sharded(mesh, pyr, o, d, sun, 0.0, CFG)
     diff = np.abs(np.asarray(img1).astype(int) - np.asarray(img8).astype(int))
-    assert (diff > 1).mean() < 1e-3
+    # geometry is pinned bit-exact separately (test_banded_geometry_bit_
+    # exact); shading may differ by 1 u8 step where XLA's batch-shape-
+    # dependent fusion rounds the last ulp differently. That wobble is a
+    # HANDFUL of pixels — assert the count, not a 0.1% blanket that would
+    # hide a ~2K-pixel regression (VERDICT r3 weak #6 / next #7)
+    assert diff.max() <= 1
+    assert int((diff == 1).sum()) <= 48, \
+        f"{int((diff == 1).sum())} pixels off by one u8 step"
 
 
 def test_banded_geometry_bit_exact(small_world):

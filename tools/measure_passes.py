@@ -213,6 +213,99 @@ def main():
     print(json.dumps({"pass": "post_bloom_composite", "ms": round(ms, 1)}),
           flush=True)
 
+    # --- post PLANAR (what the frame actually runs, render/frame.py) ---
+    hdr_p = jnp.zeros((4, H, W), jnp.float32)
+    def postp2(h_):
+        bl = post_ops.bloom_pyramid_p(h_)
+        return post_ops.composite_p(h_, bl, H, W, 0.05, True)
+    ms, _ = timeit(jax.jit(postp2), hdr_p)
+    print(json.dumps({"pass": "post_planar", "ms": round(ms, 1)}), flush=True)
+
+    # --- the shade/glue tail, piecewise (full 2M width, frame formulas) ---
+    from vvr_tpu.ops import sky as sky_ops2
+    normal_j = normal
+    world_j = world
+    bp = jnp.where(fsel, res.axis_coord[:, None],
+                   jnp.floor(world).astype(jnp.int32))
+
+    def sh_mat(bp_):
+        return shade_ops.material_at(bp_, size, False)
+    ms, _ = timeit(jax.jit(sh_mat), bp)
+    print(json.dumps({"pass": "shade_material_at", "ms": round(ms, 1)}),
+          flush=True)
+
+    sun_col = sky_ops2.sun_colour(sun_j)
+    scf = jnp.where(sun_j[1] > 0, 3.2 * sun_col, 0.0)
+    alb, rough, metal, _sp = shade_ops.material_at(bp, size, False)
+    shadow_f = jnp.ones((n,), jnp.float32)
+
+    def sh_light(w_, a_, n_, r_, m_, s_):
+        return shade_ops.lighting(w_, a_, n_, r_, m_,
+                                  jnp.ones((n,), jnp.float32) ** 1.4, s_,
+                                  -d, jnp.broadcast_to(sun_j, (n, 3)), scf)
+    ms, _ = timeit(jax.jit(sh_light), world_j, alb, normal_j, rough, metal,
+                   shadow_f)
+    print(json.dumps({"pass": "shade_lighting", "ms": round(ms, 1)}),
+          flush=True)
+
+    # hit reconstruction (frame.py:136-155 op sequence)
+    def sh_recon(res_face, res_axis):
+        sgn_ = jnp.where(d >= 0, 1.0, -1.0)
+        def sel_face(vec):
+            return jnp.where(res_face == 0, vec[:, 0],
+                             jnp.where(res_face == 1, vec[:, 1], vec[:, 2]))
+        k_ = res_axis.astype(jnp.float32)
+        plane_ = k_ + jnp.where(sel_face(sgn_) < 0, 1.0, 0.0)
+        df_ = sel_face(d)
+        dist_ = (plane_ - sel_face(o)) / jnp.where(jnp.abs(df_) < 1e-12,
+                                                   1e-12, df_)
+        w_ = o + d * dist_[:, None]
+        fsel_ = jnp.stack([res_face == 0, res_face == 1, res_face == 2], -1)
+        w_ = jnp.where(fsel_, plane_[:, None], w_)
+        bp_ = jnp.where(fsel_, res_axis[:, None],
+                        jnp.floor(w_).astype(jnp.int32))
+        nrm = shade_ops.get_face_normal(res_face, sgn_)
+        return w_, bp_, nrm
+    ms, _ = timeit(jax.jit(sh_recon), res.face, res.axis_coord)
+    print(json.dumps({"pass": "hit_reconstruction", "ms": round(ms, 1)}),
+          flush=True)
+
+    # miss shader from blocked tables (frame.py miss path)
+    clouds_tex = sky_ops2.write_clouds(sun_j, 0.0, 512)
+    skybox = sky_ops2.write_skybox(sun_j, 0.0, 256)
+    cb = sky_ops2.block_clouds(clouds_tex)
+    sb = sky_ops2.block_skybox(skybox)
+    def sh_miss(o_, d_):
+        return sky_ops2.sample_skybox_and_clouds_blocked(sb, 256, cb, 512,
+                                                         o_, d_)
+    ms, _ = timeit(jax.jit(sh_miss), o, d)
+    print(json.dumps({"pass": "miss_shader_blocked", "ms": round(ms, 1)}),
+          flush=True)
+
+    # shadow-ray cloud modulation sample (frame.py shadow path)
+    def sh_cl(w_):
+        sdir = jnp.broadcast_to(sun_j, (n, 3))
+        return sky_ops2.sample_clouds_blocked(cb, 512, sdir, w_)
+    ms, _ = timeit(jax.jit(sh_cl), world_j)
+    print(json.dumps({"pass": "shadow_cloud_sample", "ms": round(ms, 1)}),
+          flush=True)
+
+    # --- the full flagship frame (sky cached), for the budget total ---
+    from vvr_tpu.config import RenderConfig
+    from vvr_tpu.render.frame import render_frame
+    cfg = RenderConfig(width=W, height=H, shadow_samples=1,
+                       max_ray_iterations=3)
+    sun4 = jnp.concatenate([sun_j, jnp.zeros((1,), jnp.float32)])
+    def full_frame():
+        img, hdr = render_frame(grid, o, d, sun4, jnp.float32(0.0), cfg,
+                                raster=(fdt, ct, probe),
+                                sunmask=(e1j, e2j, grids),
+                                sky=(skybox, clouds_tex))
+        return img
+    ms, _ = timeit(jax.jit(full_frame))
+    print(json.dumps({"pass": "FULL_FRAME(flagship)", "ms": round(ms, 1)}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

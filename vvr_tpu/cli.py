@@ -75,10 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one frame")
     p.add_argument("--no-bloom", action="store_true")
-    p.add_argument("--traversal", choices=("auto", "jump", "pyramid"),
+    p.add_argument("--traversal",
+                   choices=("auto", "jump", "jump2", "pyramid"),
                    default="auto",
-                   help="acceleration structure: flat jump grid (ops/jump) "
-                        "or hierarchical brick pyramid (ops/traverse); "
+                   help="acceleration structure: flat jump grid (ops/jump), "
+                        "two-tier jump grid (ops/jump2), or hierarchical "
+                        "brick pyramid (ops/traverse); "
                         "auto picks jump up to 320^3 worlds")
     p.add_argument("--primary-raster", choices=("auto", "on", "off"),
                    default="auto",

@@ -75,11 +75,16 @@ class RenderConfig:
     traversal: str = "auto"         # "pyramid": hierarchical brick HDDA
                                     # (ops/traverse.py); "jump": flat
                                     # superbrick DDA with distance jumps
-                                    # (ops/jump.py); "auto": jump while the
-                                    # row table stays in the fast gather
-                                    # regime (<= 64K superbricks, i.e.
-                                    # size <= 320 — PROGRESS.md microbench),
-                                    # pyramid beyond
+                                    # (ops/jump.py); "jump2": the two-tier
+                                    # narrow-state variant (ops/jump2.py —
+                                    # measured slower at the flagship
+                                    # composition, kept selectable with a
+                                    # ledger row in PROGRESS.md); "auto":
+                                    # jump while the row table stays in the
+                                    # fast gather regime (<= 64K
+                                    # superbricks, i.e. size <= 320 —
+                                    # PROGRESS.md microbench), pyramid
+                                    # beyond
     primary_raster: str = "auto"    # primary-ray visibility via the
                                     # exposed-face rasterizer
                                     # (ops/rastertrace.py): "auto" = on for
@@ -113,7 +118,7 @@ class RenderConfig:
         """Resolve the traversal knob for a world of `world_size` voxels."""
         if self.traversal == "jump":
             return True
-        if self.traversal == "pyramid":
+        if self.traversal in ("pyramid", "jump2"):
             return False
         return (world_size // 8) ** 3 <= 65536
 

@@ -247,11 +247,22 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     jmax = jnp.minimum(jmax, j0 + band_h - 1)
     ok = visible & ~straddle & onscreen & (jmin <= jmax)
 
-    tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
-
-    # ---- tile-entry allocation ----
-    tw = (imax - imin) // TK + 1
-    th_ = (jmax - jmin) // TK + 1
+    # ---- tile-entry allocation (SCREEN-aligned tiles) ----
+    # Tiles are anchored to the band's TK x TK pixel grid, so each entry
+    # owns exactly one tile and the per-fragment element scatter becomes a
+    # per-entry ROW scatter-min into a (n_tiles, TK*TK) buffer. TPU
+    # scatter cost is INDEX-count-bound like gathers (row width ~free —
+    # tools/microbench_scatter.py), so this is ~TK*TK x cheaper than
+    # scattering the same fragments as elements. u32-min over identical
+    # keys is order-free, so winners are bit-identical to the element
+    # scatter's (and band tile alignment does not matter either).
+    ntx = -(-width // TK)
+    nty = -(-band_h // TK)
+    n_tiles = ntx * nty
+    ti0 = imin // TK
+    tw = imax // TK - ti0 + 1
+    tj0 = (jmin - j0) // TK
+    th_ = (jmax - j0) // TK - tj0 + 1
     cnt = jnp.where(ok, tw * th_, 0)
     off = jnp.cumsum(cnt) - cnt                            # exclusive scan
     placed = ok & (off + cnt <= cap_entries)
@@ -268,9 +279,10 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     CH = min(cap_entries, 1 << 17)
     ent_face = jnp.concatenate([ent_face, jnp.zeros((CH,), I32)])
 
-    # per-entry face data: one gather from a packed (F, 12) i32 table
+    # per-entry face data: one gather from a packed (F, 14) i32 table
     ftab = jnp.stack([imin, jmin, imax, jmax, tw, off,
-                      vx, vy, vz, axis * 2 + sgn, feu, fev], axis=1)
+                      vx, vy, vz, axis * 2 + sgn, feu, fev, ti0, tj0],
+                     axis=1)
 
     # process entries in dynamic-trip chunks so the cost scales with the
     # camera's actual entry count, not the static capacity
@@ -284,16 +296,20 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     # entry inflation (138-155 ms -> 165-167 ms). Reverted; ledger in
     # PROGRESS.md.)
 
+    tbuf_t = jnp.full((n_tiles + 1, TK * TK), SENTINEL, jnp.uint32)
+
     def chunk_body(c):
         start, tb = c
         ek = start + jnp.arange(CH, dtype=I32)
         ent_ok = ek < total
         fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
         row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
-                       mode="clip")                        # (CH, 12)
+                       mode="clip")                        # (CH, 14)
         li = ek - row[:, 5]
-        base_i = row[:, 0] + TK * (li % jnp.maximum(row[:, 4], 1))
-        base_j = row[:, 1] + TK * (li // jnp.maximum(row[:, 4], 1))
+        til = row[:, 12] + li % jnp.maximum(row[:, 4], 1)
+        tjl = row[:, 13] + li // jnp.maximum(row[:, 4], 1)
+        base_i = til * TK
+        base_j = tjl * TK + j0
         e_ax = row[:, 9] >> 1
         e_sgn = row[:, 9] & 1
         e_vx, e_vy, e_vz = row[:, 6], row[:, 7], row[:, 8]
@@ -302,8 +318,10 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
                    + e_sgn).astype(F32)
         i = base_i[:, None] + (q % TK)
         j = base_j[:, None] + (q // TK)
-        ins = (ent_ok[:, None] & (i <= row[:, 2][:, None])
-               & (j <= row[:, 3][:, None]))
+        # screen-aligned tiles can overhang the face bbox on every side
+        ins = (ent_ok[:, None]
+               & (i >= row[:, 0][:, None]) & (i <= row[:, 2][:, None])
+               & (j >= row[:, 1][:, None]) & (j <= row[:, 3][:, None]))
         d = _ray_dir(i, j, cam, width, height)             # (CH, TK*TK, 3)
         ax2 = e_ax[:, None]
         d_a = jnp.where(ax2 == 0, d[..., 0],
@@ -327,15 +345,18 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         cov_v = (v_c >= v_0) & (v_c < v_0 + e_ev)
         cover = ins & (t > 0.0) & cov_u & cov_v & (j >= j0) \
             & (j < j0 + band_h)
-        # uncovered fragments index out of bounds -> dropped, not written
-        pix = jnp.where(cover, (j - j0) * width + i, n_pix + 1)
-        tb = tb.at[pix.reshape(-1)].min(
-            jnp.where(cover, _axis_key_dyn(t, ax2), SENTINEL).reshape(-1),
-            mode="drop")
+        # one row-min per ENTRY; uncovered lanes write SENTINEL (no-ops)
+        tid = jnp.where(ent_ok, tjl * ntx + til, n_tiles)
+        tb = tb.at[tid].min(
+            jnp.where(cover, _axis_key_dyn(t, ax2), SENTINEL), mode="drop")
         return start + CH, tb
 
-    _, tbuf = jax.lax.while_loop(lambda c: c[0] < total, chunk_body,
-                                 (jnp.int32(0), tbuf))
+    _, tbuf_t = jax.lax.while_loop(lambda c: c[0] < total, chunk_body,
+                                   (jnp.int32(0), tbuf_t))
+
+    # net faces (below) are full-screen elementwise passes in PIXEL order;
+    # they accumulate into their own flat buffer, merged after the unpack
+    tbuf = jnp.full((n_pix + 1,), SENTINEL, jnp.uint32)
 
     # full-screen safety net: straddling + allocation-overflow faces.
     # EXHAUSTIVE (no truncation): the face list is scanned in fixed-size
@@ -407,7 +428,10 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     # few-ulp fragment-d wobble, so the window match is unambiguous.
     # Cross-axis ties were already resolved DURING the scatter by the
     # oracle's step preference over real fragments.
-    key = tbuf[:n_pix]
+    # unpack tiles to pixel order (pure relayout) and merge the net buffer
+    key_t = tbuf_t[:n_tiles].reshape(nty, ntx, TK, TK).transpose(
+        0, 2, 1, 3).reshape(nty * TK, ntx * TK)
+    key = jnp.minimum(key_t[:band_h, :width].reshape(-1), tbuf[:n_pix])
     hit = key != SENTINEL
     wbits, face = _key_decode(key)
     t_approx = jax.lax.bitcast_convert_type(wbits, F32)

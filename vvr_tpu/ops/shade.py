@@ -12,6 +12,7 @@ All inputs are (..., 3)/(...) arrays; everything fuses into the frame jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vvr_tpu.utils.hash import hash13, per_block_unique_colour
@@ -52,9 +53,15 @@ def fresnel(f0, h, v):
     return f0 + (1.0 - f0) * jnp.power(1.0 - cos_t, 5.0)[..., None]
 
 
+def _cexp(x):
+    """Channel-expand: [..., None] for per-lane arrays, identity for 0-d
+    trace-time constants (which broadcast by themselves)."""
+    return x if getattr(x, "ndim", 1) == 0 else x[..., None]
+
+
 def fresnel_roughness(f0, v, x, roughness):
     cos_t = _saturate(1.0 - jnp.maximum(_dot(v, x), 0.0))
-    return f0 + (jnp.maximum(1.0 - roughness[..., None], f0) - f0) \
+    return f0 + (jnp.maximum(1.0 - _cexp(roughness), f0) - f0) \
         * jnp.power(cos_t, 5.0)[..., None]
 
 
@@ -68,14 +75,28 @@ def specular(f0, roughness, v, l, n, h):
 
 def lighting(position, albedo, normal, roughness, metallic, visibility,
              shadows, view, sun_dir, sun_color):
-    """pbr.slang:90-146 `lighting()`; view = direction surface->camera."""
+    """pbr.slang:90-146 `lighting()`; view = direction surface->camera.
+
+    `roughness`/`metallic` may be 0-d trace-time constants (the terrain
+    material is a uniform roughness 0.8 / metallic 0 — raytracer.slang:
+    199-224); the metallic == 0 subchains are then folded BY HAND below.
+    Each fold is bit-exact for finite inputs: (albedo-0.04)*0 == 0 and
+    (1-ks)*(1-0) == (1-ks) elementwise, and the scalar f0 = 0.04 equals
+    the per-channel f0 the array path would compute."""
     half_view = view + sun_dir
     half_view = half_view / jnp.maximum(
         jnp.linalg.norm(half_view, axis=-1, keepdims=True), 1e-12)
-    f0 = 0.04 + (albedo - 0.04) * metallic[..., None]
-
-    ks = fresnel_roughness(f0, half_view, view, roughness)
-    kd = (1.0 - ks) * (1.0 - metallic[..., None])
+    m_zero = (getattr(metallic, "ndim", 1) == 0
+              and not isinstance(metallic, jax.core.Tracer)
+              and float(metallic) == 0.0)
+    if m_zero:
+        f0 = jnp.float32(0.04)
+        ks = fresnel_roughness(f0, half_view, view, roughness)
+        kd = 1.0 - ks
+    else:
+        f0 = 0.04 + (albedo - 0.04) * _cexp(metallic)
+        ks = fresnel_roughness(f0, half_view, view, roughness)
+        kd = (1.0 - ks) * (1.0 - _cexp(metallic))
 
     spec = specular(f0, roughness, view, sun_dir, normal, half_view)
     n_dot_l = jnp.maximum(_dot(sun_dir, normal), 0.0)
@@ -93,14 +114,14 @@ def material_at(block_pos, world_size: int, mirror_materials: bool = False):
     col = per_block_unique_colour(block_pos.astype(F32))
     albedo = jnp.where((block_pos[..., 0] > world_size // 2)[..., None],
                        col + (1.0 - col) * 0.5, 1.0)
-    roughness = jnp.full(block_pos.shape[:-1], 0.80, F32)
-    metallic = jnp.zeros(block_pos.shape[:-1], F32)
-    special = jnp.zeros(block_pos.shape[:-1], F32)
+    roughness = jnp.float32(0.80)   # uniform material: 0-d trace-time
+    metallic = jnp.float32(0.0)     # constants (lighting() folds them)
+    special = jnp.float32(0.0)
     if mirror_materials:
         # the reference's commented-out mirror-block rule
         # (raytracer.slang:219-222): hash-chosen 8^3 block groups
         special = hash13(jnp.floor(bp / 8.0))
-        metallic = jnp.where(special > 0.8, 1.0, metallic)
+        metallic = jnp.where(special > 0.8, 1.0, 0.0)
     return albedo, roughness, metallic, special
 
 

@@ -36,7 +36,7 @@ from vvr_tpu.ops.noise import snoise3
 from vvr_tpu.ops.jump import SHADOW_CASCADE, SHADOW_PHASE1, trace_jump
 from vvr_tpu.ops.traverse import trace
 from vvr_tpu.utils.hash import hash33
-from vvr_tpu.world.jumpgrid import JumpGrid
+from vvr_tpu.world.jumpgrid import JumpGrid, JumpGrid2
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -62,6 +62,16 @@ def make_tracer(accel, cfg: RenderConfig):
                 phase1_groups=SHADOW_PHASE1 if shadow else 6,
                 cascade=SHADOW_CASCADE if shadow else None)
         return tr
+
+    if isinstance(accel, JumpGrid2):
+        steps = cfg.traversal_max_steps * 8
+
+        def tr2(o, d, active=None, pack_first=None, with_stats=False,
+                shadow=False):
+            from vvr_tpu.ops.jump2 import trace_jump2
+            return trace_jump2(accel, o, d, max_steps=steps, active=active,
+                               pack_first=pack_first, with_stats=with_stats)
+        return tr2
 
     def tr(o, d, active=None, pack_first=None, with_stats=False,
            shadow=False):

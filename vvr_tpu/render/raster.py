@@ -20,7 +20,11 @@ perspective-correct barycentrics on the projected triangle; the vertex
 transform matches rasterized.slang:38-50 (the reference negates clip x/y for
 its row-vector matrices; with this camera's column-vector (view, proj) the
 negation cancels and ndc matches ops/raygen.py's pixel convention).
-Triangles wider than K2 pixels are dropped (debug-path limitation).
+Triangles wider than K2 pixels run a full-screen coverage pass (a
+dynamic-trip loop over just those triangles — zero cost when none, and
+close-up walls no longer vanish); only triangles straddling the camera
+plane remain un-drawable (projection-based rasterizers cannot clip them;
+the reference's hardware rasterizer can).
 """
 
 from __future__ import annotations
@@ -120,19 +124,75 @@ def _grid_pass(sx, sy, w, tri, valid, tri_gid, h, w_img, k):
     return zbuf, winner, fits
 
 
+def _fullscreen_pass(sx, sy, w, tri, valid, tri_gid, h, w_img, zbuf,
+                     winner):
+    """Rasterize each `valid` triangle over the WHOLE screen — the huge-
+    triangle fallback (bbox > K_BIG). A dynamic-trip while_loop costs
+    nothing when no triangle qualifies; each qualifying one is a pure
+    elementwise coverage test (no scatter)."""
+    t = tri.shape[0]
+    idx = jnp.nonzero(valid, size=t, fill_value=t)[0]
+    cnt = jnp.sum(valid).astype(I32)
+    pxg = (jnp.arange(w_img, dtype=F32) + 0.5)[None, :]       # (1, w)
+    pyg = (jnp.arange(h, dtype=F32) + 0.5)[:, None]           # (h, 1)
+
+    def one(c):
+        k, zb, wn = c
+        ti = jnp.minimum(idx[jnp.minimum(k, t - 1)], t - 1)
+        va, vb, vc = tri[ti, 0], tri[ti, 1], tri[ti, 2]
+        ax, ay, wa = sx[va], sy[va], w[va]
+        bx, by, wb = sx[vb], sy[vb], w[vb]
+        cx, cy, wc = sx[vc], sy[vc], w[vc]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inv_area = jnp.where(jnp.abs(area) < 1e-9, 0.0, 1.0 / area)
+        e0 = (cx - bx) * (pyg - by) - (cy - by) * (pxg - bx)
+        e1 = (ax - cx) * (pyg - cy) - (ay - cy) * (pxg - cx)
+        l0 = e0 * inv_area
+        l1 = e1 * inv_area
+        l2 = 1.0 - l0 - l1
+        eps = -1e-6
+        cover = ((l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+                 & (inv_area != 0.0))
+        inv_w = l0 / wa + l1 / wb + l2 / wc
+        depth = 1.0 / jnp.maximum(inv_w, 1e-9)
+        dflat = jnp.where(cover, depth, jnp.inf).reshape(-1)
+        gid = tri_gid[ti]
+        use = (dflat < zb) | ((dflat <= zb * (1.0 + 1e-6))
+                              & (dflat < jnp.inf) & (gid < wn))
+        return (k + 1, jnp.minimum(zb, dflat),
+                jnp.where(use, gid, wn))
+
+    _, zbuf, winner = jax.lax.while_loop(lambda c: c[0] < cnt, one,
+                                         (jnp.int32(0), zbuf, winner))
+    return zbuf, winner
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w_img"))
 def _raster_slab(sx, sy, w, tri, valid, tri_gid, h: int, w_img: int):
-    """One slab: small-grid pass + close-up requeue; returns (zbuf, winner)."""
+    """One slab: small-grid pass + close-up requeue + full-screen fallback
+    for triangles bigger than K_BIG; returns (zbuf, winner)."""
     zbuf, winner, fits = _grid_pass(sx, sy, w, tri, valid, tri_gid, h,
                                     w_img, K_SMALL)
     t = tri.shape[0]
     big = valid & ~fits
     big_idx = jnp.nonzero(big, size=BIG_CAP, fill_value=t)[0]
     bsafe = jnp.minimum(big_idx, t - 1)
-    zbuf2, winner2, _ = _grid_pass(
+    zbuf2, winner2, fits2 = _grid_pass(
         sx, sy, w, tri[bsafe], big_idx < t, tri_gid[bsafe], h, w_img, K_BIG)
     use2 = (zbuf2 < zbuf) | ((zbuf2 == zbuf) & (winner2 < winner))
-    return (jnp.minimum(zbuf, zbuf2), jnp.where(use2, winner2, winner))
+    zbuf = jnp.minimum(zbuf, zbuf2)
+    winner = jnp.where(use2, winner2, winner)
+    # triangles too big even for K_BIG (and big ones past BIG_CAP): a
+    # full-screen coverage pass per triangle, dynamic trip (usually zero)
+    big_marked = jnp.zeros((t,), bool).at[big_idx].max(
+        big_idx < t, mode="drop")
+    # behind-camera verts invalidate a triangle in _grid_pass; mirror that
+    wok = ((w[tri[:, 0]] > 1e-3) & (w[tri[:, 1]] > 1e-3)
+           & (w[tri[:, 2]] > 1e-3))
+    huge = (big & ~big_marked) | jnp.zeros((t,), bool).at[bsafe].max(
+        (big_idx < t) & ~fits2, mode="drop")
+    return _fullscreen_pass(sx, sy, w, tri, huge & wok, tri_gid, h, w_img,
+                            zbuf, winner)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

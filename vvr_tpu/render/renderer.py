@@ -64,8 +64,11 @@ class Renderer:
             from vvr_tpu.world.bricks import build_svt
             self.svt = build_svt(self.scene.chunks, self.scene.size)
         self.use_jump = render_cfg.use_jump(self.scene.size)
+        self.use_jump2 = render_cfg.traversal == "jump2"
         if self.use_jump:
             self.scene.ensure_jumpgrid()
+        elif self.use_jump2:
+            self.scene.ensure_jumpgrid2()
         # rasterized primary visibility: on for the main view (debug
         # heatmaps need the DDA's traversal counters)
         self.use_raster = (render_cfg.primary_raster == "on"
@@ -125,9 +128,12 @@ class Renderer:
         # animated point lights (renderer.rs:494-505)
         self.scene.animate_lights(camera.position, t, 1.0 / 60.0)
         o, d = camera_rays(camera, self.cfg.render_width, self.cfg.render_height)
-        accel = self.scene.jumpgrid if self.use_jump else self.scene.pyramid
+        accel = (self.scene.jumpgrid if self.use_jump
+                 else self.scene.jumpgrid2 if self.use_jump2
+                 else self.scene.pyramid)
         needs_overlap = (self.cfg.ambient_occlusion
-                         and self.cfg.ao_mode == "overlap" and self.use_jump)
+                         and self.cfg.ao_mode == "overlap"
+                         and (self.use_jump or self.use_jump2))
         raster = None
         if self.use_raster:
             from vvr_tpu.ops.traverse import solid_at

@@ -36,6 +36,7 @@ class Scene:
     density: object          # jnp u8 (S,S,S) or None
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
     jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
+    jumpgrid2: object = None  # two-tier variant (ops/jump2.py) or None
     faces: object = None     # device face arrays for ops/rastertrace.py
     epoch: int = 0           # world version: bump on ANY occupancy change
                              # (WorldEditor sync) — cache keys (sun grids)
@@ -60,6 +61,14 @@ class Scene:
             self.jumpgrid = build_jump_grid(
                 assemble_dense(self.chunks, self.cfg.size))
         return self.jumpgrid
+
+    def ensure_jumpgrid2(self):
+        """Build the two-tier jump grid lazily (traversal="jump2")."""
+        if getattr(self, "jumpgrid2", None) is None:
+            from vvr_tpu.world.jumpgrid import build_jump_grid2
+            self.jumpgrid2 = build_jump_grid2(
+                assemble_dense(self.chunks, self.cfg.size))
+        return self.jumpgrid2
 
     def ensure_faces(self):
         """Exposed-face arrays (greedy-merged rectangles) for the
