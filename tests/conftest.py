@@ -51,3 +51,22 @@ def medium_world():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(421)  # reference's light seed (renderer.rs:494)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: heavy tests (large corpora / frame-level equality, minutes "
+        "each on CPU) — excluded from the smoke tier")
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast tier — every kernel's oracle contract at reduced "
+        "corpus; `pytest -m smoke` runs in minutes, the full suite in ~1 h")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not explicitly marked `full` belongs to the smoke tier,
+    so `pytest -m smoke` / `pytest -m full` partition the suite exactly."""
+    for item in items:
+        if "full" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)

@@ -15,14 +15,17 @@ import pytest
 
 from vvr_tpu.ops.jump import trace_jump
 from vvr_tpu.ops.jump2 import trace_jump2
+from vvr_tpu.ops.paged import trace_paged
 from vvr_tpu.render.oracle import trace_dense
 from vvr_tpu.world.jumpgrid import (build_jump_grid, build_jump_grid2,
                                     chebyshev_distance, octant_distances)
+from vvr_tpu.world.paged import build_paged_grid
 
-# both flat-jump kernels share the test suite: (build, trace) pairs
+# all flat/paged jump kernels share the test suite: (build, trace) pairs
 IMPLS = [
     pytest.param((build_jump_grid, trace_jump), id="jump"),
     pytest.param((build_jump_grid2, trace_jump2), id="jump2"),
+    pytest.param((build_paged_grid, trace_paged), id="paged"),
 ]
 
 
@@ -168,6 +171,7 @@ def test_random_sparse_scene(impl):
     assert_matches_oracle(impl, occ, o, d)
 
 
+@pytest.mark.full
 def test_random_dense_scene(impl):
     rng = np.random.default_rng(5)
     occ = rng.random((64, 64, 64)) < 0.4
@@ -175,6 +179,7 @@ def test_random_dense_scene(impl):
     assert_matches_oracle(impl, occ, o, d)
 
 
+@pytest.mark.full
 def test_far_jump_scene(impl):
     """Solid only in one corner superbrick: distance jumps span most of the
     grid; rays from the far corner must still land bit-exactly."""
@@ -220,6 +225,7 @@ def test_terrain_scene(impl, small_world):
     assert_matches_oracle(impl, occ, o, d)
 
 
+@pytest.mark.full
 def test_subcell_skip_agrees_on_half_empty_bricks(impl):
     """Bricks whose lower 4^3 half is empty exercise the subcell skip / the
     two-tier scale switch."""
@@ -231,6 +237,7 @@ def test_subcell_skip_agrees_on_half_empty_bricks(impl):
     assert_matches_oracle(impl, occ, o, d)
 
 
+@pytest.mark.full
 def test_compaction_cascade_matches_wide_path(impl, medium_world):
     """Flagship scale (VERDICT r1 #5): 256^3 bench terrain, >=4096 rays so
     the straggler cascade engages; compact and non-compact must agree with
@@ -261,6 +268,7 @@ def test_compaction_cascade_matches_wide_path(impl, medium_world):
                                       ref["axis_coord"][hit])
 
 
+@pytest.mark.full
 def test_pack_first_path(impl, medium_world):
     """pack_first (masked shadow-ray packing) returns oracle-exact results
     for the active lanes and passthrough for inactive ones."""

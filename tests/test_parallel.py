@@ -56,6 +56,7 @@ def test_sharded_trace_matches_single(pyr):
                                   np.asarray(sharded.axis_coord))
 
 
+@pytest.mark.full
 def test_sharded_frame_matches_single(pyr):
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
     o, d = camera_rays(cam, CFG.render_width, CFG.render_height)
@@ -75,6 +76,7 @@ def test_sharded_frame_matches_single(pyr):
         f"{int((diff == 1).sum())} pixels off by one u8 step"
 
 
+@pytest.mark.full
 def test_banded_geometry_bit_exact(small_world):
     """Per-band rasterization and the classified shadow pass — the
     GEOMETRY of the flagship composition — must be BIT-IDENTICAL to the
@@ -153,6 +155,7 @@ def test_banded_geometry_bit_exact(small_world):
     np.testing.assert_array_equal(sh1, np.concatenate(parts))
 
 
+@pytest.mark.full
 def test_sharded_flagship_frame(small_world):
     """The FLAGSHIP composition (per-band rasterized primary + sun-space
     shadow classifier + local DDA residue) sharded over 8 devices: the

@@ -161,6 +161,21 @@ def test_jump2_traversal_frame_matches_pyramid(small_world, pyr):
     np.testing.assert_array_equal(hdr_j, hdr_p)
 
 
+def test_paged_traversal_frame_matches_pyramid(small_world, pyr):
+    """traversal='paged' (the two-level 1024^3-scale grid, ops/paged.py)
+    must also produce the IDENTICAL frame — the kernel is oracle-bit-exact
+    on hit/face/axis_coord (tests/test_jump.py) and shading consumes only
+    those."""
+    from vvr_tpu.world.paged import build_paged_grid
+    _, _, occ = small_world
+    pg = build_paged_grid(occ)
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img_p, hdr_p = _render(pyr, cam)
+    img_j, hdr_j = _render(pg, cam)
+    np.testing.assert_array_equal(img_j, img_p)
+    np.testing.assert_array_equal(hdr_j, hdr_p)
+
+
 def test_raster_primary_frame_matches_dda(small_world, pyr):
     """The rasterized-primary frame must be pixel-identical to the DDA
     frame: bounce-0 visibility is oracle-exact either way, and shading

@@ -64,6 +64,7 @@ def test_classifier_agrees_with_oracle(small_world, sun_i):
     assert resolved > 0.6, f"classifier resolved only {resolved:.2%}"
 
 
+@pytest.mark.full
 def test_masked_shadow_matches_dda_from_surface_starts(small_world):
     """masked_shadow_hits at real shadow-ray starts (surface point + BACK
     along the sun — including starts that end up buried in tight corners)
@@ -101,6 +102,7 @@ def test_masked_shadow_matches_dda_from_surface_starts(small_world):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.full
 def test_masked_shadow_equals_pure_dda_frame(small_world):
     """The classifier-accelerated shadow pass must produce the IDENTICAL
     frame to the pure-DDA shadow pass."""
@@ -125,6 +127,7 @@ def test_masked_shadow_equals_pure_dda_frame(small_world):
     np.testing.assert_array_equal(img_m, img_d)
 
 
+@pytest.mark.full
 def test_masked_shadow_equals_pure_dda_frame_pyramid(small_world):
     """Same equality with the PYRAMID tracer (round 3 decoupled the
     classifier from the jump grid; the residue runs the frame's tracer)."""
@@ -162,6 +165,7 @@ def test_build_overflow_flag(small_world):
 
 
 @pytest.mark.parametrize("sun_i", range(3))
+@pytest.mark.full
 def test_masked_packed_near_segment_matches_dda(small_world, sun_i):
     """The packed path (coarse gate -> packed fine classify -> near-segment
     walk + lifted re-classify -> packed DDA) must equal pure DDA at >= 4096
@@ -217,6 +221,7 @@ def test_masked_packed_near_segment_matches_dda(small_world, sun_i):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.full
 def test_masked_low_res_grids_still_exact(small_world):
     """The interactive-sun drag path builds 512^2 grids (renderer.
     set_sun_dragging); classification must stay conservative at ANY
@@ -253,6 +258,7 @@ def test_masked_low_res_grids_still_exact(small_world):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.full
 def test_soft_shadow_cone_equals_pure_dda_frame(small_world):
     """The CONE-classified soft-shadow pass (one classification shared by
     all N jittered samples, soft_shadow_gate) must produce the IDENTICAL
@@ -278,6 +284,7 @@ def test_soft_shadow_cone_equals_pure_dda_frame(small_world):
     np.testing.assert_array_equal(img_m, img_d)
 
 
+@pytest.mark.full
 def test_cone_gate_agrees_with_per_sample_oracle(small_world):
     """Cone-grid certainty must agree with EVERY jittered direction's
     exact trace (the shared-classification soundness claim)."""

@@ -168,6 +168,7 @@ def test_any_only_rows_match_oracle(small_world):
 # Flagship-scale correctness (VERDICT r1 #5): the benchmark-shaped scene
 # ---------------------------------------------------------------------------
 
+@pytest.mark.full
 def test_bench_scene_256_matches_oracle(medium_world):
     """Oracle-vs-kernel on the 256^3 terrain the benchmark renders, a few
     thousand rays, BOTH table modes (per-node full-mask path and the grouped
@@ -196,6 +197,7 @@ def test_bench_scene_256_matches_oracle(medium_world):
                                       ref["axis_coord"][hit])
 
 
+@pytest.mark.full
 def test_world_1024_build_and_trace_smoke():
     """1024^3 world (the reference's flagship scale): chunked build + a
     handful of oracle-checked rays."""

@@ -84,6 +84,7 @@ def test_pyramid_from_chunks_matches_dense(small_world):
     assert p1.bases == p2.bases
 
 
+@pytest.mark.full
 def test_full_implies_any(medium_world):
     _, _, occ = medium_world
     pyr = build_pyramid(occ)

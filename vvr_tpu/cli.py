@@ -76,12 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one frame")
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--traversal",
-                   choices=("auto", "jump", "jump2", "pyramid"),
+                   choices=("auto", "jump", "jump2", "paged", "pyramid"),
                    default="auto",
                    help="acceleration structure: flat jump grid (ops/jump), "
-                        "two-tier jump grid (ops/jump2), or hierarchical "
-                        "brick pyramid (ops/traverse); "
-                        "auto picks jump up to 320^3 worlds")
+                        "two-tier jump grid (ops/jump2), paged two-level "
+                        "grid (ops/paged), or hierarchical brick pyramid "
+                        "(ops/traverse); auto picks jump up to 320^3 "
+                        "worlds and paged above 512^3")
     p.add_argument("--primary-raster", choices=("auto", "on", "off"),
                    default="auto",
                    help="rasterized primary visibility (exposed-face "

@@ -118,9 +118,17 @@ class RenderConfig:
         """Resolve the traversal knob for a world of `world_size` voxels."""
         if self.traversal == "jump":
             return True
-        if self.traversal in ("pyramid", "jump2"):
+        if self.traversal in ("pyramid", "jump2", "paged"):
             return False
         return (world_size // 8) ** 3 <= 65536
+
+    def use_paged(self, world_size: int) -> bool:
+        """Paged two-level grid (ops/paged.py): explicit, or auto at
+        scales where the flat grid's row table leaves the fast-gather
+        regime (>64K superbricks, i.e. >512^3)."""
+        if self.traversal == "paged":
+            return True
+        return self.traversal == "auto" and (world_size // 8) ** 3 > 65536
 
     @property
     def render_width(self) -> int:

@@ -107,6 +107,88 @@ def lighting(position, albedo, normal, roughness, metallic, visibility,
     return outgoing + ambient * 0.2
 
 
+def lighting_soa(albedo, normal, roughness, visibility, shadows, view,
+                 sun_dir, sun_color):
+    """SoA `lighting()` for the frame's uniform terrain material
+    (metallic == 0, scalar roughness — the m_zero fold of lighting()):
+    every per-lane array is flat (N,), channels separate. (N, k) arrays
+    with tiny minor axes run at k/128 lane utilization on TPU — the
+    round-4 profile measured the AoS tail's select fusions at 25.6 ms
+    per channel versus ~1 ms flat.
+
+    albedo/normal/view: 3-tuples of (N,); sun_dir: (3,) constant (all
+    shadow rays share the sun direction); sun_color: (3,); roughness:
+    python/0-d scalar; visibility/shadows: (N,). Returns (r, g, b)."""
+    ax, ay, az = albedo
+    nx, ny, nz = normal
+    vx, vy, vz = view
+    sx, sy, sz = sun_dir[0], sun_dir[1], sun_dir[2]
+    hx, hy, hz = vx + sx, vy + sy, vz + sz
+    hn = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12)
+    hx, hy, hz = hx / hn, hy / hn, hz / hn
+
+    f0 = jnp.float32(0.04)
+    # fresnel_roughness(f0, h, view, roughness) — scalar f0 path
+    hv = jnp.clip(hx * vx + hy * vy + hz * vz, 0.0, 1.0)
+    cos_t = _saturate(1.0 - jnp.maximum(hv, 0.0))
+    ks = f0 + (jnp.maximum(1.0 - roughness, f0) - f0) * jnp.power(cos_t, 5.0)
+    kd = 1.0 - ks
+
+    # specular(f0, roughness, view, sun, normal, half)
+    a = roughness * roughness
+    a2 = a * a
+    n_dot_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+    semi = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    nd = a2 / (PI * semi * semi)
+    r1 = roughness + 1.0
+    k = (r1 * r1) / 8.0
+    nv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    nl = jnp.maximum(nx * sx + ny * sy + nz * sz, 0.0)
+    g = (nv / (nv * (1.0 - k) + k)) * (nl / (nl * (1.0 - k) + k))
+    fr = f0 + (1.0 - f0) * jnp.power(1.0 - hv, 5.0)
+    denom = jnp.maximum(4.0 * nv * nl, 1e-4)
+    tmp = nd * g * fr / denom
+    spec = jnp.where(jnp.isinf(tmp), 1000.0, jnp.clip(tmp, 0.0, 1000.0))
+
+    n_dot_l = jnp.maximum(sx * nx + sy * ny + sz * nz, 0.0)
+    w = n_dot_l * shadows
+    amb = 0.2 * kd * visibility * 0.2
+    out_r = (kd * ax / PI + spec) * sun_color[0] * w + amb * ax
+    out_g = (kd * ay / PI + spec) * sun_color[1] * w + amb * ay
+    out_b = (kd * az / PI + spec) * sun_color[2] * w + amb * az
+    return out_r, out_g, out_b
+
+
+def material_at_soa(bx, by, bz, world_size: int):
+    """SoA material rules for the uniform terrain material (the mirror
+    variant stays AoS — config 4 stacks once). Returns
+    (alb_r, alb_g, alb_b) flat; roughness/metallic are the 0-d constants
+    material_at returns.
+
+    The block-colour hash itself stays AoS: hash chains amplify any ulp
+    difference to O(1) through fract discontinuities, and XLA's FMA
+    contraction of the reassociated SoA form produced DIFFERENT colors
+    under jit than the golden images' graph (round-4 debugging: 0.38
+    albedo maxdiff, 16% of terrain pixels). The (N, 3) stack here is one
+    relayout of an i32 column triple — a few ms, not the 25 ms/channel
+    the select-tree fusions cost."""
+    col = per_block_unique_colour(
+        jnp.stack([bx, by, bz], -1).astype(F32))
+    cr, cg, cb = col[:, 0], col[:, 1], col[:, 2]
+    hi = bx > world_size // 2
+    alb_r = jnp.where(hi, cr + (1.0 - cr) * 0.5, 1.0)
+    alb_g = jnp.where(hi, cg + (1.0 - cg) * 0.5, 1.0)
+    alb_b = jnp.where(hi, cb + (1.0 - cb) * 0.5, 1.0)
+    return alb_r, alb_g, alb_b
+
+
+def get_face_normal_soa(face, sgnx, sgny, sgnz):
+    """SoA get_face_normal: (nx, ny, nz) flat arrays."""
+    return (jnp.where(face == 0, -sgnx, 0.0),
+            jnp.where(face == 1, -sgny, 0.0),
+            jnp.where(face == 2, -sgnz, 0.0))
+
+
 def material_at(block_pos, world_size: int, mirror_materials: bool = False):
     """Material rules (raytracer.slang:199-224). Returns
     (albedo (...,3), roughness (...), metallic (...), special (...))."""

@@ -414,12 +414,16 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
                        size: int, pack_cap, back: float = BACK,
                        accel=None):
     """The frame's hard-shadow query with the classifier fast path:
-    a coarse-grid gather (fast regime) answers the bulk of lanes; the
-    unresolved minority is front-packed for a fine-grid gather, and only
-    the still-ambiguous residue (true silhouette texels) runs the full
-    DDA (`tr`, the frame's shadow tracer) inside the packed buffer.
-    Lanes that overflow the pack capacity fall back to a full-width
-    fine classify + DDA under lax.cond — zero cost unless it fires.
+    ONE full-width fine-grid gather answers ~92% of lanes (one-shot
+    gather cost is lane-count-bound, NOT table-size-bound — round-4
+    tools/microbench_prof.py: a (2M,)-index gather costs ~18-27 ms
+    device from a 64K-row and a 4M-row table alike, so the round-3
+    coarse gate + n/4 pack + packed fine gather chain paid an extra
+    coarse gather AND an extra 2M-wide nonzero for nothing); only the
+    ambiguous residue (true silhouette texels, ~6-8% of shadow lanes)
+    is front-packed once for the near-segment walk + DDA. Lanes that
+    overflow the pack capacity fall back to a full-width DDA under
+    lax.cond — zero cost unless it fires.
 
     `s_o` is the DDA's own ray start — surface point + `back` along the
     sun. Shadow-certainty is evaluated at s_o's depth (the witness
@@ -431,89 +435,75 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
 
     Bit-equal to running the DDA for every lane wherever the DDA
     terminates within its max_steps cap (tests/test_sunshadow.py; see the
-    module docstring for the cap divergence)."""
+    module docstring for the cap divergence).
+
+    `s_o` is either an (N, 3) array or a 3-tuple of flat (N,) channels
+    (the frame's SoA tail — (N, k) minor-axis intermediates run at k/128
+    lane utilization; projections become explicit per-channel FMAs)."""
     gBC, cBC, a0, b0, ts = grids
-    n = s_o.shape[0]
+    if isinstance(s_o, tuple):
+        sox, soy, soz = s_o
+    else:
+        sox, soy, soz = s_o[:, 0], s_o[:, 1], s_o[:, 2]
+    n = sox.shape[0]
     grid = int(math.isqrt(gBC.shape[0]))   # static under jit
-    co = int(math.isqrt(cBC.shape[0]))
-    bf = max(grid // co, 1)
-    inw = jnp.all((s_o >= 0) & (s_o < size), axis=-1)
-    qa = s_o @ e1
-    qb = s_o @ e2
-    qz = s_o @ sun3
+    inw = ((sox >= 0) & (sox < size) & (soy >= 0) & (soy < size)
+           & (soz >= 0) & (soz < size))
+    qa = sox * e1[0] + soy * e1[1] + soz * e1[2]
+    qb = sox * e2[0] + soy * e2[1] + soz * e2[2]
+    qz = sox * sun3[0] + soy * sun3[1] + soz * sun3[2]
     i = jnp.floor((qa - a0) / ts).astype(I32)
     j = jnp.floor((qb - b0) / ts).astype(I32)
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
-    ctex = jnp.where(inb, (j // bf) * co + (i // bf), 0)
-    crow = jnp.take(cBC, ctex, axis=0, mode="clip")
-    c_shadow, c_light = _certain(qz, crow[:, 0], crow[:, 1], inb, back)
+    row = jnp.take(gBC, tex, axis=0, mode="clip")
+    f_shadow, f_light = _certain(qz, row[:, 0], row[:, 1], inb, back)
 
-    known_hit = shadow_active & c_shadow
-    known_miss = shadow_active & ~known_hit & (c_light | ~inw)
-    unres = shadow_active & ~known_hit & ~known_miss
+    known_hit = shadow_active & f_shadow
+    known_miss = shadow_active & ~known_hit & (f_light | ~inw)
+    amb = shadow_active & ~known_hit & ~known_miss
     sdir_one = sun3
 
     if pack_cap is None or n < 4096:
-        row = jnp.take(gBC, tex, axis=0, mode="clip")
-        f_shadow, f_light = _certain(qz, row[:, 0], row[:, 1], inb, back)
-        kh = shadow_active & f_shadow
-        km = shadow_active & ~kh & (f_light | ~inw)
-        amb = shadow_active & ~kh & ~km
-        dda_hit = tr(s_o, jnp.broadcast_to(sdir_one, s_o.shape), active=amb,
-                     pack_first=pack_cap, shadow=True).hit
-        return jnp.where(kh, True, jnp.where(km, False, dda_hit))
+        s_o_aos = (jnp.stack([sox, soy, soz], -1)
+                   if isinstance(s_o, tuple) else s_o)
+        dda_hit = tr(s_o_aos, jnp.broadcast_to(sdir_one, s_o_aos.shape),
+                     active=amb, pack_first=pack_cap, shadow=True).hit
+        return jnp.where(known_hit, True,
+                         jnp.where(known_miss, False, dda_hit))
 
-    # ---- packed fine classify + near segment + packed DDA ----
-    cap1 = max(n // 4, 4096)
-    cap2 = max(n // 32, 2048)
-    idx = jnp.nonzero(unres, size=cap1, fill_value=n)[0]
+    # ---- pack the ambiguous residue once: near segment + packed DDA ----
+    # bench camera: amb ~6-8% of 2M lanes; n/12 leaves headroom for low
+    # suns (overflow stays exact through the full-width net below)
+    cap1 = max(n // 12, 4096)
+    idx = jnp.nonzero(amb, size=cap1, fill_value=n)[0]
     valid = idx < n
     safe = jnp.minimum(idx, n - 1)
-    p_o = s_o[safe]
-    p_row = jnp.take(gBC, tex[safe], axis=0, mode="clip")
-    p_qz = qz[safe]
-    p_inb = inb[safe]
-    p_shadow, p_light = _certain(p_qz, p_row[:, 0], p_row[:, 1], p_inb, back)
-    p_shadow = p_shadow & valid
-    p_amb = valid & ~p_shadow & ~p_light
+    p_o = jnp.stack([sox[safe], soy[safe], soz[safe]], -1)
+    p_dda_active = valid
     near_hit = jnp.zeros((cap1,), bool)
     if accel is not None:
         # silhouette lanes resolve locally: exact K-crossing walk, then
-        # re-classify at the lifted depth with the SAME fine-grid row.
-        # Packed a second time — the ambiguous subset is a fraction of the
-        # coarse-unresolved pack (bench: 122K of 406K), and the walk costs
-        # K gathers per lane.
-        cap1b = max(cap1 // 4, 2048)
-        aidx = jnp.nonzero(p_amb, size=cap1b, fill_value=cap1)[0]
-        a_valid = aidx < cap1
-        a_safe = jnp.minimum(aidx, cap1 - 1)
-        nh, nexit, t_end = _near_segment(accel, p_o[a_safe], sun3)
-        a_lift = p_qz[a_safe] + t_end > p_row[a_safe, 1] + SAFE
-        a_resolved = a_valid & (nh | nexit | a_lift)
-        near_hit = jnp.zeros((cap1,), bool).at[aidx].set(
-            a_valid & nh, mode="drop")
-        resolved = jnp.zeros((cap1,), bool).at[aidx].set(
-            a_resolved, mode="drop")
-        a_mark = jnp.zeros((cap1,), bool).at[aidx].set(a_valid,
-                                                       mode="drop")
-        # lanes beyond cap1b skip the walk and go straight to the DDA
-        p_amb = p_amb & ~(a_mark & resolved)
-    p_dda = tr(p_o, jnp.broadcast_to(sdir_one, p_o.shape), active=p_amb,
-               pack_first=cap2, shadow=True).hit
-    p_hit = p_shadow | near_hit | (p_amb & p_dda)
+        # re-classify at the lifted depth with the SAME fine-grid row
+        # (the projection texel is invariant along the sun direction)
+        nh, nexit, t_end = _near_segment(accel, p_o, sun3)
+        lift = qz[safe] + t_end > jnp.take(row[:, 1], safe) + SAFE
+        near_hit = valid & nh
+        p_dda_active = valid & ~(nh | nexit | lift)
+    p_dda = tr(p_o, jnp.broadcast_to(sdir_one, p_o.shape),
+               active=p_dda_active,
+               pack_first=max(cap1 // 8, 2048), shadow=True).hit
+    p_hit = near_hit | (p_dda_active & p_dda)
     packed_hits = jnp.zeros((n,), bool).at[idx].set(p_hit & valid,
                                                     mode="drop")
     packed_mark = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
-    overflow = unres & ~packed_mark
+    overflow = amb & ~packed_mark
 
     def of_fallback(_):
-        row = jnp.take(gBC, tex, axis=0, mode="clip")
-        f_shadow, f_light = _certain(qz, row[:, 0], row[:, 1], inb, back)
-        f_amb = overflow & ~f_shadow & ~f_light
-        f_dda = tr(s_o, jnp.broadcast_to(sdir_one, s_o.shape), active=f_amb,
-                   pack_first=pack_cap, shadow=True).hit
-        return jnp.where(overflow & f_shadow, True, f_amb & f_dda)
+        s_o_aos = jnp.stack([sox, soy, soz], -1)
+        f_dda = tr(s_o_aos, jnp.broadcast_to(sdir_one, s_o_aos.shape),
+                   active=overflow, pack_first=pack_cap, shadow=True).hit
+        return overflow & f_dda
 
     of_hits = jax.lax.cond(jnp.any(overflow), of_fallback,
                            lambda _: jnp.zeros((n,), bool), None)
@@ -539,46 +529,28 @@ def soft_shadow_gate(s_base, sun3, e1, e2, grids, shadow_active,
     most `fwd` ahead of it along s, and a crossing that buries a start
     registers in gridC above the surface depth, blocking certain-light."""
     gBC, cBC, a0, b0, ts = grids
-    n = s_base.shape[0]
+    if isinstance(s_base, tuple):
+        sbx, sby, sbz = s_base
+    else:
+        sbx, sby, sbz = s_base[:, 0], s_base[:, 1], s_base[:, 2]
     grid = int(math.isqrt(gBC.shape[0]))
-    co = int(math.isqrt(cBC.shape[0]))
-    bf = max(grid // co, 1)
-    inw = jnp.all((s_base >= 0) & (s_base < size), axis=-1)
-    qa = s_base @ e1
-    qb = s_base @ e2
-    qz = s_base @ sun3
+    inw = ((sbx >= 0) & (sbx < size) & (sby >= 0) & (sby < size)
+           & (sbz >= 0) & (sbz < size))
+    qa = sbx * e1[0] + sby * e1[1] + sbz * e1[2]
+    qb = sbx * e2[0] + sby * e2[1] + sbz * e2[2]
+    qz = sbx * sun3[0] + sby * sun3[1] + sbz * sun3[2]
     i = jnp.floor((qa - a0) / ts).astype(I32)
     j = jnp.floor((qb - b0) / ts).astype(I32)
     inb = inw & (i >= 0) & (i < grid) & (j >= 0) & (j < grid)
     tex = jnp.where(inb, j * grid + i, 0)
-    ctex = jnp.where(inb, (j // bf) * co + (i // bf), 0)
-    crow = jnp.take(cBC, ctex, axis=0, mode="clip")
-    c_shadow = inb & (qz + fwd < crow[:, 0] - SAFE)
-    c_light = inb & (qz > crow[:, 1] + SAFE)
-    known_hit = shadow_active & c_shadow
-    known_miss = shadow_active & ~known_hit & (c_light | ~inw)
-    unres = shadow_active & ~known_hit & ~known_miss
-    if n >= 4096:
-        cap1 = max(n // 4, 4096)
-        idx = jnp.nonzero(unres, size=cap1, fill_value=n)[0]
-        valid = idx < n
-        safe = jnp.minimum(idx, n - 1)
-        p_row = jnp.take(gBC, tex[safe], axis=0, mode="clip")
-        p_qz = qz[safe]
-        p_inb = inb[safe]
-        p_shadow = valid & p_inb & (p_qz + fwd < p_row[:, 0] - SAFE)
-        p_light = p_inb & (p_qz > p_row[:, 1] + SAFE)
-        known_hit = known_hit | jnp.zeros((n,), bool).at[idx].set(
-            p_shadow, mode="drop")
-        known_miss = known_miss | jnp.zeros((n,), bool).at[idx].set(
-            valid & ~p_shadow & p_light, mode="drop")
-        # lanes beyond cap1 stay unresolved (they just run the DDAs)
-    else:
-        row = jnp.take(gBC, tex, axis=0, mode="clip")
-        f_shadow = inb & (qz + fwd < row[:, 0] - SAFE)
-        f_light = inb & (qz > row[:, 1] + SAFE)
-        known_hit = shadow_active & f_shadow
-        known_miss = shadow_active & ~known_hit & (f_light | ~inw)
+    # ONE full-width fine gather (one-shot gather cost is lane-count-
+    # bound, not table-size-bound — the round-3 coarse gate + n/4 packed
+    # refinement paid an extra gather and a 2M-wide nonzero for nothing)
+    row = jnp.take(gBC, tex, axis=0, mode="clip")
+    f_shadow = inb & (qz + fwd < row[:, 0] - SAFE)
+    f_light = inb & (qz > row[:, 1] + SAFE)
+    known_hit = shadow_active & f_shadow
+    known_miss = shadow_active & ~known_hit & (f_light | ~inw)
     return known_hit, known_miss
 
 

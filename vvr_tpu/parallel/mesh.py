@@ -89,25 +89,25 @@ def render_frame_sharded(mesh: Mesh, pyr, o, d, sun, time, cfg,
         def band_fn(pyr_b, o_b, d_b, sun_b, time_b, sky_b, clouds_b,
                     svt_b, lights_b, raster_b, sunmask_b):
             j0 = jax.lax.axis_index("rays") * band_h
-            rgb, alpha, _dbg = raytrace_pass(
+            (r, g, b), alpha, _dbg = raytrace_pass(
                 pyr_b, o_b, d_b, sky_b, clouds_b, sun_b, time_b, cfg,
                 svt_density=svt_b, mirror_materials=mirror_materials,
                 lights=lights_b, raster=raster_b, sunmask=sunmask_b,
                 band=(j0, band_h))
-            return rgb, alpha
+            return r, g, b, alpha
 
-        rgb, alpha = jax.shard_map(
+        r, g, b, alpha = jax.shard_map(
             band_fn, mesh=mesh,
             in_specs=(P(), P("rays"), P("rays"), P(), P(), P(), P(), P(),
                       P(), P(), P()),
-            out_specs=(P("rays"), P("rays")),
+            out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
             check_vma=False,
         )(pyr, o, d, sun, time, skybox, clouds_tex, svt_density, lights,
           raster, sunmask)
 
-        hdr_p = jnp.stack([rgb[:, 0].reshape(rh, rw),
-                           rgb[:, 1].reshape(rh, rw),
-                           rgb[:, 2].reshape(rh, rw),
+        hdr_p = jnp.stack([r.reshape(rh, rw),
+                           g.reshape(rh, rw),
+                           b.reshape(rh, rw),
                            alpha.reshape(rh, rw)], 0)
         if cfg.bloom_enabled:
             bloom2 = post_ops.bloom_pyramid_p(hdr_p)

@@ -35,7 +35,7 @@ from vvr_tpu.ops import sky as sky_ops
 from vvr_tpu.ops.noise import snoise3
 from vvr_tpu.ops.jump import SHADOW_CASCADE, SHADOW_PHASE1, trace_jump
 from vvr_tpu.ops.traverse import trace
-from vvr_tpu.utils.hash import hash33
+from vvr_tpu.utils.hash import hash33, hash33_soa
 from vvr_tpu.world.jumpgrid import JumpGrid, JumpGrid2
 
 F32 = jnp.float32
@@ -73,6 +73,23 @@ def make_tracer(accel, cfg: RenderConfig):
                                pack_first=pack_first, with_stats=with_stats)
         return tr2
 
+    from vvr_tpu.world.paged import PagedGrid
+    if isinstance(accel, PagedGrid):
+        # voxel sub-steps dominate near surfaces like the flat grid's;
+        # empty space costs far fewer (page jumps) — same cap scale
+        steps = cfg.traversal_max_steps * 8
+
+        def trp(o, d, active=None, pack_first=None, with_stats=False,
+                shadow=False):
+            from vvr_tpu.ops.paged import (SHADOW_CASCADE, SHADOW_PHASE1,
+                                           trace_paged)
+            return trace_paged(
+                accel, o, d, max_steps=steps, active=active,
+                pack_first=pack_first, with_stats=with_stats,
+                phase1_groups=SHADOW_PHASE1 if shadow else 6,
+                cascade=SHADOW_CASCADE if shadow else None)
+        return trp
+
     def tr(o, d, active=None, pack_first=None, with_stats=False,
            shadow=False):
         return trace(accel, o, d, max_steps=cfg.traversal_max_steps,
@@ -106,14 +123,24 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     rasterizer (ops/rastertrace.py) — rays must then be the unmasked
     camera wavefront; `band=(j0, band_h)` restricts the rasterizer to a
     pixel-row band (multi-chip sharding: rays are then the band's own —
-    parallel/mesh.py). Returns (rgb (N,3), alpha (N,), first-hit debug
-    dict)."""
+    parallel/mesh.py). Returns ((r, g, b) flat channels, alpha (N,),
+    first-hit debug dict).
+
+    The whole shading tail runs SoA — channels as separate (N,) arrays.
+    Any (N, k) intermediate with a tiny minor axis runs at k/128 lane
+    utilization on TPU: the round-4 profile caught the AoS tail's
+    select trees fused over f32[N,1] at 25.6 ms PER CHANNEL (~1 ms flat)
+    plus ~30 ms of relayout copies. Traversal kernels keep their (N, 3)
+    ray interface; (N, 3) stacks only appear on packed subsets or
+    config-gated paths (AO, point lights, mirror bounces)."""
     n = o.shape[0]
     size = pyr.size
     tr = make_tracer(pyr, cfg)
-    colour = jnp.ones((n, 3), F32)
-    out_rgb = jnp.zeros((n, 3), F32)
-    alpha = jnp.zeros((n,), F32)
+    one_f = jnp.ones((n,), F32)
+    zero_f = jnp.zeros((n,), F32)
+    col_r = col_g = col_b = one_f
+    out_r = out_g = out_b = zero_f
+    alpha = zero_f
     active = jnp.ones((n,), bool)
     dbg = {}
 
@@ -125,6 +152,11 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     clouds_blk = sky_ops.block_clouds(clouds_tex)
     skybox_blk = sky_ops.block_skybox(skybox)
 
+    # SoA ray state (origin/direction change only on mirror continuation)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    d_aos = d  # bounce-0 AoS view for the traversal kernels
+
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
     for bounce in range(cfg.max_ray_iterations):
@@ -132,70 +164,90 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             from vvr_tpu.ops.rastertrace import trace_raster
             faces, rcam, probe = raster
             j0, band_h = band if band is not None else (0, None)
-            res = trace_raster(faces, rcam, d, probe, size,
+            res = trace_raster(faces, rcam, d_aos, probe, size,
                                cfg.render_width, cfg.render_height,
                                j0=j0, band_h=band_h)
         else:
-            res = tr(o, d, active=active, with_stats=need_stats)
+            o_aos = o if bounce == 0 else jnp.stack([ox, oy, oz], -1)
+            res = tr(o_aos, d_aos, active=active, with_stats=need_stats)
         hit = res.hit & active
-        sgn = jnp.where(d >= 0, 1.0, -1.0)
-        normal = shade_ops.get_face_normal(res.face, sgn)
+        sgx = jnp.where(dx >= 0, F32(1.0), F32(-1.0))
+        sgy = jnp.where(dy >= 0, F32(1.0), F32(-1.0))
+        sgz = jnp.where(dz >= 0, F32(1.0), F32(-1.0))
+        face = res.face
+        nx, ny, nz = shade_ops.get_face_normal_soa(face, sgx, sgy, sgz)
 
         # exact hit reconstruction via ray-plane solve (raytracer.slang:169-177,
         # other.slang:36-43): the entry plane sits at axis_coord, +1 when
         # entering from the high side. All face-indexed values go through
         # selects — per-row dynamic indexing is a slow gather on TPU.
-        face = res.face
-
-        def sel_face(vec):
-            return jnp.where(face == 0, vec[:, 0],
-                             jnp.where(face == 1, vec[:, 1], vec[:, 2]))
+        def sel_face(vx, vy, vz):
+            return jnp.where(face == 0, vx, jnp.where(face == 1, vy, vz))
 
         k = res.axis_coord.astype(F32)
-        plane = k + jnp.where(sel_face(sgn) < 0, 1.0, 0.0)
-        df = sel_face(d)
-        dist = (plane - sel_face(o)) / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
-        world = o + d * dist[:, None]
-        fsel = jnp.stack([face == 0, face == 1, face == 2], -1)
-        world = jnp.where(fsel, plane[:, None], world)
+        plane = k + jnp.where(sel_face(sgx, sgy, sgz) < 0, F32(1.0), F32(0.0))
+        df = sel_face(dx, dy, dz)
+        dist = (plane - sel_face(ox, oy, oz)) / jnp.where(
+            jnp.abs(df) < 1e-12, F32(1e-12), df)
+        wx = jnp.where(face == 0, plane, ox + dx * dist)
+        wy = jnp.where(face == 1, plane, oy + dy * dist)
+        wz = jnp.where(face == 2, plane, oz + dz * dist)
         # hit voxel coordinate: exact on the face axis (we use the true hit
         # voxel; the reference floors the plane coordinate, which lands in
         # the *neighbour* cell on negative faces — a quirk we define away)
-        block_pos = jnp.where(fsel, res.axis_coord[:, None],
-                              jnp.floor(world).astype(I32))
+        bx = jnp.where(face == 0, res.axis_coord, jnp.floor(wx).astype(I32))
+        by = jnp.where(face == 1, res.axis_coord, jnp.floor(wy).astype(I32))
+        bz = jnp.where(face == 2, res.axis_coord, jnp.floor(wz).astype(I32))
 
-        albedo, rough, metal, special = shade_ops.material_at(
-            block_pos, size, mirror_materials)
-        mirror = hit & (special > 0.8) & (metal > 0.0)
+        alb_r, alb_g, alb_b = shade_ops.material_at_soa(bx, by, bz, size)
+        if mirror_materials:
+            # hash-chosen 8^3 mirror block groups (material_at's rule);
+            # metallic = (special > 0.8) so `mirror` needs only special
+            from vvr_tpu.utils.hash import hash13_soa
+            special = hash13_soa(jnp.floor(bx.astype(F32) / 8.0),
+                                 jnp.floor(by.astype(F32) / 8.0),
+                                 jnp.floor(bz.astype(F32) / 8.0))
+            mirror = hit & (special > 0.8)
+        else:
+            mirror = jnp.zeros((n,), bool)
         shaded = hit & ~mirror
 
         if bounce == 0:
             dbg = dict(iterations=res.iterations, fetches=res.fetches,
-                       missed_pops=res.missed_pops, normal=normal,
-                       block_pos=block_pos, hit=hit, world=world)
+                       missed_pops=res.missed_pops, hit=hit,
+                       normal_soa=(nx, ny, nz), block_soa=(bx, by, bz),
+                       world_soa=(wx, wy, wz))
 
         # ambient occlusion — "filtered" (raytracer.slang:274-277): density
         # sampled one voxel along the normal (-2 on negative axes);
-        # "overlap": the planar overlap-query estimator (ops/overlap.py)
+        # "overlap": the planar overlap-query estimator (ops/overlap.py).
+        # Both estimators keep their (N, 3) interface (config-gated stacks).
         if cfg.ambient_occlusion and cfg.ao_mode == "overlap":
             from vvr_tpu.ops.overlap import overlap_ao
+            world = jnp.stack([wx, wy, wz], -1)
+            normal = jnp.stack([nx, ny, nz], -1)
             ao = overlap_ao(overlap_pyr if overlap_pyr is not None else pyr,
                             world, normal, face)
         elif cfg.ambient_occlusion and svt_density is not None:
-            wtf = jnp.where(normal < 0, -2.0, normal)
             from vvr_tpu.world.svt import sample_density_trilinear
+            probe_pt = jnp.stack(
+                [wx + jnp.where(nx < 0, F32(-2.0), nx),
+                 wy + jnp.where(ny < 0, F32(-2.0), ny),
+                 wz + jnp.where(nz < 0, F32(-2.0), nz)], -1)
             ao = 1.0 - jnp.clip(
-                sample_density_trilinear(svt_density, world + wtf) * 0.5, 0, 1)
+                sample_density_trilinear(svt_density, probe_pt) * 0.5, 0, 1)
         else:
-            ao = jnp.ones((n,), F32)
+            ao = one_f
 
         # sun shadows (raytracer.slang:326-351)
-        shadow_start = world
+        ssx, ssy, ssz = wx, wy, wz
         if cfg.pixelated_shadows:
-            shadow_start = jnp.floor(world * 4.0) / 4.0
+            ssx = jnp.floor(wx * 4.0) / 4.0
+            ssy = jnp.floor(wy * 4.0) / 4.0
+            ssz = jnp.floor(wz * 4.0) / 4.0
         # shadow rays exist only for shaded lanes facing the sun — lighting()
         # multiplies by max(n.l, 0), so n.l <= 0 lanes never need the trace
-        sun_facing = jnp.sum(normal * sun3[None, :], -1) > 0.0
+        sun_facing = (nx * sun3[0] + ny * sun3[1] + nz * sun3[2]) > 0.0
         shadow_active = shaded & sun_facing
         # front-pack them so misses/backfaces don't pay the traversal
         # gathers (cap 0.9n: terrain cameras reach ~80% hit fraction and a
@@ -212,28 +264,41 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             if sunmask is not None:
                 from vvr_tpu.ops.sunshadow import soft_shadow_gate
                 sm_e1, sm_e2, sm_grids = sunmask
-                kh, km = soft_shadow_gate(shadow_start, sun3, sm_e1,
+                kh, km = soft_shadow_gate((ssx, ssy, ssz), sun3, sm_e1,
                                           sm_e2, sm_grids, shadow_active,
                                           size)
                 dda_active = shadow_active & ~kh & ~km
                 dda_cap = max(n // 4, 2048) if n >= 4096 else None
-            shadow = jnp.zeros((n,), F32)
+            shadow = zero_f
             for s in range(cfg.shadow_samples):
-                rng = hash33(shadow_start * 23.12123545 + s * 30.43324) * 2.0 - 1.0
-                sdir = _norm(sun3[None, :] + rng * 0.005)
+                c1, c2 = F32(23.12123545), F32(s * 30.43324)
+                rx, ry, rz = hash33_soa(ssx * c1 + c2, ssy * c1 + c2,
+                                        ssz * c1 + c2)
+                rx, ry, rz = rx * 2.0 - 1.0, ry * 2.0 - 1.0, rz * 2.0 - 1.0
+                sdx = sun3[0] + rx * 0.005
+                sdy = sun3[1] + ry * 0.005
+                sdz = sun3[2] + rz * 0.005
+                sn = jnp.maximum(jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz),
+                                 1e-12)
+                sdx, sdy, sdz = sdx / sn, sdy / sn, sdz / sn
                 strength = jnp.power(jnp.clip(
-                    jnp.sum(sdir * sun3, -1), 0.0, 1.0), 40.0)
-                s_o = shadow_start + sun3 * 0.004 + sdir * 0.05
+                    sdx * sun3[0] + sdy * sun3[1] + sdz * sun3[2],
+                    0.0, 1.0), 40.0)
+                s_o = jnp.stack([ssx + sun3[0] * 0.004 + sdx * 0.05,
+                                 ssy + sun3[1] * 0.004 + sdy * 0.05,
+                                 ssz + sun3[2] * 0.004 + sdz * 0.05], -1)
+                sdir = jnp.stack([sdx, sdy, sdz], -1)
                 s_dda = tr(s_o, sdir, active=dda_active,
                            pack_first=dda_cap, shadow=True).hit
                 s_hit = kh | (~km & s_dda)
-                cl = sky_ops.sample_clouds_blocked(
-                    clouds_blk, cfg.clouds_resolution, sdir, shadow_start)
+                _, _, _, cl_a = sky_ops.sample_clouds_blocked_soa(
+                    clouds_blk, cfg.clouds_resolution, (sdx, sdy, sdz),
+                    ssx, ssy, ssz)
                 shadow = shadow + jnp.where(
-                    s_hit, 0.0, strength * (1.0 - cl[..., 3])) / cfg.shadow_samples
+                    s_hit, 0.0, strength * (1.0 - cl_a)) / cfg.shadow_samples
         elif cfg.shadow_samples == 1:
-            s_o = shadow_start + sun3 * 0.05
-            sdir = jnp.broadcast_to(sun3, (n, 3))
+            s_o = (ssx + sun3[0] * 0.05, ssy + sun3[1] * 0.05,
+                   ssz + sun3[2] * 0.05)
             if sunmask is not None:
                 from vvr_tpu.ops.sunshadow import masked_shadow_hits
                 sm_e1, sm_e2, sm_grids = sunmask
@@ -243,41 +308,50 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                     max(n // 10, 2048) if n >= 4096 else None,
                     accel=pyr if isinstance(pyr, JumpGrid) else None)
             else:
-                s_hit = tr(s_o, sdir, active=shadow_active,
+                s_hit = tr(jnp.stack(s_o, -1),
+                           jnp.broadcast_to(sun3, (n, 3)),
+                           active=shadow_active,
                            pack_first=pack_cap, shadow=True).hit
-            cl = sky_ops.sample_clouds_blocked(
-                clouds_blk, cfg.clouds_resolution, sdir, shadow_start)
-            shadow = jnp.where(s_hit, 0.0, 1.0 - cl[..., 3])
+            _, _, _, cl_a = sky_ops.sample_clouds_blocked_soa(
+                clouds_blk, cfg.clouds_resolution, sun3, ssx, ssy, ssz)
+            shadow = jnp.where(s_hit, 0.0, 1.0 - cl_a)
         else:
-            shadow = jnp.ones((n,), F32)
+            shadow = one_f
 
         # (debug_type == 0 — the rasterization path — is a separate pipeline:
         # render/raster.py, dispatched by the Renderer, not this megakernel)
-        lit = shade_ops.lighting(
-                world, albedo, normal, rough, metal,
-                jnp.power(ao, 1.4), shadow, -d, jnp.broadcast_to(sun3, (n, 3)),
-                sun_colour_final)
+        lit_r, lit_g, lit_b = shade_ops.lighting_soa(
+            (alb_r, alb_g, alb_b), (nx, ny, nz), jnp.float32(0.80),
+            jnp.power(ao, 1.4), shadow, (-dx, -dy, -dz), sun3,
+            sun_colour_final)
         # animated point lights (raytracer.slang:364-381 — the reference's
         # disabled loop, here behind cfg.point_lights): first 10 lights,
         # 10-unit radius, inverse-square falloff, shadow by distance compare
         if cfg.point_lights and lights is not None:
             for li in range(min(10, lights.shape[0])):
                 lp = lights[li, :3]
-                to_pos = shadow_start - lp[None, :]
-                dist_l = jnp.linalg.norm(to_pos, axis=-1)
+                tpx, tpy, tpz = ssx - lp[0], ssy - lp[1], ssz - lp[2]
+                dist_l = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
                 near = shaded & (dist_l < 10.0)
-                ldir = to_pos / jnp.maximum(dist_l, 1e-6)[:, None]
-                lres = tr(jnp.broadcast_to(lp, (n, 3)), ldir, active=near,
+                inv_l = 1.0 / jnp.maximum(dist_l, 1e-6)
+                ldx, ldy, ldz = tpx * inv_l, tpy * inv_l, tpz * inv_l
+                lres = tr(jnp.broadcast_to(lp, (n, 3)),
+                          jnp.stack([ldx, ldy, ldz], -1), active=near,
                           pack_first=max(n // 8, 2048) if n >= 4096 else None)
                 unshadowed = (lres.t + 0.1) > dist_l
-                n_dot_l = jnp.clip(jnp.sum(normal * (-ldir), -1), 0.0, 1.0)
+                n_dot_l = jnp.clip(-(nx * ldx + ny * ldy + nz * ldz),
+                                   0.0, 1.0)
                 s = jnp.clip(10.0 - dist_l, 0.0, 1.0)
                 s = s * s * (3.0 - 2.0 * s)
                 strength = s / jnp.maximum(dist_l * dist_l, 1e-4)
                 lcol = hash33(jnp.full((3,), li * 3.21312, F32))
                 add = (unshadowed & near).astype(F32) * n_dot_l * strength
-                lit = lit + add[:, None] * lcol[None, :] * 0.3
-        out_rgb = jnp.where(shaded[:, None], colour * lit, out_rgb)
+                lit_r = lit_r + add * (lcol[0] * 0.3)
+                lit_g = lit_g + add * (lcol[1] * 0.3)
+                lit_b = lit_b + add * (lcol[2] * 0.3)
+        out_r = jnp.where(shaded, col_r * lit_r, out_r)
+        out_g = jnp.where(shaded, col_g * lit_g, out_g)
+        out_b = jnp.where(shaded, col_b * lit_b, out_b)
 
         miss = active & ~res.hit
         # miss shader at full width from BLOCKED tables: the sky gathers
@@ -285,28 +359,47 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         # and no packing machinery is paid (a packed variant measured
         # worse — the index gathers + scatter at the pack cap exceeded the
         # blocked full-width gathers; round-3 ledger)
-        sky_rgb = sky_ops.sample_skybox_and_clouds_blocked(
+        sky_r, sky_g, sky_b = sky_ops.sample_skybox_and_clouds_blocked_soa(
             skybox_blk, cfg.skybox_resolution, clouds_blk,
-            cfg.clouds_resolution, o, d)
-        out_rgb = jnp.where(miss[:, None], colour * sky_rgb, out_rgb)
-        alpha = jnp.where(miss, 10.0, alpha)
+            cfg.clouds_resolution, (ox, oy, oz), dx, dy, dz)
+        out_r = jnp.where(miss, col_r * sky_r, out_r)
+        out_g = jnp.where(miss, col_g * sky_g, out_g)
+        out_b = jnp.where(miss, col_b * sky_b, out_b)
+        alpha = jnp.where(miss, F32(10.0), alpha)
 
         # mirror continuation (raytracer.slang:225-270)
         if mirror_materials:
-            new_n = normal
+            nnx, nny, nnz = nx, ny, nz
             if cfg.wavy_reflections:
-                new_n = _norm(normal + snoise3(world * 0.85 + time)[..., None] * 0.05)
-            refl = d - 2.0 * jnp.sum(d * new_n, -1, keepdims=True) * new_n
-            o = jnp.where(mirror[:, None], world + refl * 1e-3, o)
-            d = jnp.where(mirror[:, None], refl, d)
-            colour = jnp.where(mirror[:, None],
-                               colour * albedo * metal[:, None], colour)
+                world = jnp.stack([wx, wy, wz], -1)
+                sn3 = snoise3(world * 0.85 + time) * 0.05
+                nnx, nny, nnz = nx + sn3, ny + sn3, nz + sn3
+                inv_n = 1.0 / jnp.maximum(
+                    jnp.sqrt(nnx * nnx + nny * nny + nnz * nnz), 1e-12)
+                nnx, nny, nnz = nnx * inv_n, nny * inv_n, nnz * inv_n
+            dd2 = 2.0 * (dx * nnx + dy * nny + dz * nnz)
+            rfx = dx - dd2 * nnx
+            rfy = dy - dd2 * nny
+            rfz = dz - dd2 * nnz
+            ox = jnp.where(mirror, wx + rfx * 1e-3, ox)
+            oy = jnp.where(mirror, wy + rfy * 1e-3, oy)
+            oz = jnp.where(mirror, wz + rfz * 1e-3, oz)
+            dx = jnp.where(mirror, rfx, dx)
+            dy = jnp.where(mirror, rfy, dy)
+            dz = jnp.where(mirror, rfz, dz)
+            d_aos = jnp.stack([dx, dy, dz], -1)
+            # colour *= albedo * metallic; metallic == 1 on mirror lanes
+            col_r = jnp.where(mirror, col_r * alb_r, col_r)
+            col_g = jnp.where(mirror, col_g * alb_g, col_g)
+            col_b = jnp.where(mirror, col_b * alb_b, col_b)
         active = mirror
         if not mirror_materials:
             break  # no lane can continue; skip dead bounces entirely
 
-    out_rgb = jnp.where(active[:, None], 0.0, out_rgb)  # bounces exhausted
-    return out_rgb, alpha, dbg
+    out_r = jnp.where(active, F32(0.0), out_r)  # bounces exhausted
+    out_g = jnp.where(active, F32(0.0), out_g)
+    out_b = jnp.where(active, F32(0.0), out_b)
+    return (out_r, out_g, out_b), alpha, dbg
 
 
 def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
@@ -316,9 +409,11 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
     if cfg.debug_type == DEBUG_BUFFER_FETCHES:
         return heatmap(dbg["fetches"].astype(F32).reshape(h, w) / 32.0)
     if cfg.debug_type == DEBUG_NORMALS:
-        return jnp.clip(dbg["normal"].reshape(h, w, 3), 0.0, 1.0)
+        return jnp.clip(jnp.stack(dbg["normal_soa"], -1).reshape(h, w, 3),
+                        0.0, 1.0)
     if cfg.debug_type == DEBUG_WORLD:
-        return (dbg["block_pos"].reshape(h, w, 3) % 16).astype(F32) / 16.0
+        return (jnp.stack(dbg["block_soa"], -1).reshape(h, w, 3)
+                % 16).astype(F32) / 16.0
     if cfg.debug_type == DEBUG_EXIT_TYPE:
         # heatmap(num_entered_but_missed / 64) — raytracer.slang:421-423
         return heatmap(dbg["missed_pops"].astype(F32).reshape(h, w) / 64.0)
@@ -345,18 +440,20 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                                           cfg.clouds_resolution)
         skybox = sky_ops.write_skybox(sun[:3], time, cfg.skybox_resolution)
 
-    rgb, alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time,
-                                    cfg, svt_density, mirror_materials, lights,
-                                    overlap_pyr, raster, sunmask)
+    (r, g, b), alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex,
+                                          sun, time, cfg, svt_density,
+                                          mirror_materials, lights,
+                                          overlap_pyr, raster, sunmask)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
-        rgb = dbg_img.reshape(-1, 3)
+        r, g, b = (dbg_img[..., 0].reshape(-1), dbg_img[..., 1].reshape(-1),
+                   dbg_img[..., 2].reshape(-1))
 
     # post runs planar (4, rh, rw) — channel-minor images leave 4/128
     # lanes busy (ops/post.py layout note); the wavefront's flat (N,)
-    # component columns reshape straight into planes
-    hdr_p = jnp.stack([rgb[:, 0].reshape(rh, rw), rgb[:, 1].reshape(rh, rw),
-                       rgb[:, 2].reshape(rh, rw), alpha.reshape(rh, rw)], 0)
+    # channels reshape straight into planes (SoA end-to-end)
+    hdr_p = jnp.stack([r.reshape(rh, rw), g.reshape(rh, rw),
+                       b.reshape(rh, rw), alpha.reshape(rh, rw)], 0)
     if cfg.bloom_enabled and dbg_img is None:
         bloom2 = post_ops.bloom_pyramid_p(hdr_p)
     else:

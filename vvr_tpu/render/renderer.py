@@ -65,10 +65,13 @@ class Renderer:
             self.svt = build_svt(self.scene.chunks, self.scene.size)
         self.use_jump = render_cfg.use_jump(self.scene.size)
         self.use_jump2 = render_cfg.traversal == "jump2"
+        self.use_paged = render_cfg.use_paged(self.scene.size)
         if self.use_jump:
             self.scene.ensure_jumpgrid()
         elif self.use_jump2:
             self.scene.ensure_jumpgrid2()
+        elif self.use_paged:
+            self.scene.ensure_paged()
         # rasterized primary visibility: on for the main view (debug
         # heatmaps need the DDA's traversal counters)
         self.use_raster = (render_cfg.primary_raster == "on"
@@ -130,10 +133,12 @@ class Renderer:
         o, d = camera_rays(camera, self.cfg.render_width, self.cfg.render_height)
         accel = (self.scene.jumpgrid if self.use_jump
                  else self.scene.jumpgrid2 if self.use_jump2
+                 else self.scene.paged if self.use_paged
                  else self.scene.pyramid)
         needs_overlap = (self.cfg.ambient_occlusion
                          and self.cfg.ao_mode == "overlap"
-                         and (self.use_jump or self.use_jump2))
+                         and (self.use_jump or self.use_jump2
+                              or self.use_paged))
         raster = None
         if self.use_raster:
             from vvr_tpu.ops.traverse import solid_at

@@ -37,6 +37,7 @@ class Scene:
     lights: np.ndarray       # (NUM_LIGHTS, 4) f32
     jumpgrid: object = None  # flat traversal structure (ops/jump.py) or None
     jumpgrid2: object = None  # two-tier variant (ops/jump2.py) or None
+    paged: object = None     # paged two-level grid (ops/paged.py) or None
     faces: object = None     # device face arrays for ops/rastertrace.py
     epoch: int = 0           # world version: bump on ANY occupancy change
                              # (WorldEditor sync) — cache keys (sun grids)
@@ -69,6 +70,15 @@ class Scene:
             self.jumpgrid2 = build_jump_grid2(
                 assemble_dense(self.chunks, self.cfg.size))
         return self.jumpgrid2
+
+    def ensure_paged(self):
+        """Build the paged two-level grid lazily (traversal="paged" or
+        auto at >512^3 — world/paged.py)."""
+        if getattr(self, "paged", None) is None:
+            from vvr_tpu.world.paged import build_paged_grid
+            self.paged = build_paged_grid(
+                assemble_dense(self.chunks, self.cfg.size))
+        return self.paged
 
     def ensure_faces(self):
         """Exposed-face arrays (greedy-merged rectangles) for the

@@ -64,6 +64,49 @@ def per_block_unique_colour(block_pos):
     return col / jnp.maximum(n, F32(1e-12))
 
 
+# ---- SoA variants (channels as separate flat arrays) ----
+# Any (N, k)-shaped intermediate with a tiny minor axis runs at k/128 lane
+# utilization on TPU (the round-4 frame profile caught three 25.6 ms
+# select-tree fusions iterating over f32[2073600,1]); the full-width
+# shading tail therefore computes per channel on (N,) arrays and only
+# stacks at the planar image boundary. Same formulas value-for-value.
+
+def hash33_soa(x, y, z):
+    """hash33 on separate (N,) channels -> (r, g, b) flat arrays."""
+    px = _fract(x * F32(0.1031))
+    py = _fract(y * F32(0.1030))
+    pz = _fract(z * F32(0.0973))
+    d = (px * (py + F32(33.33)) + py * (px + F32(33.33))
+         + pz * (pz + F32(33.33)))
+    px = px + d
+    py = py + d
+    pz = pz + d
+    return (_fract((px + py) * pz), _fract((px + px) * py),
+            _fract((py + px) * px))
+
+
+def hash13_soa(x, y, z):
+    """hash13 on separate (N,) channels -> (N,)."""
+    px = _fract(x * F32(0.1031))
+    py = _fract(y * F32(0.1031))
+    pz = _fract(z * F32(0.1031))
+    d = (px * (pz + F32(33.33)) + py * (py + F32(33.33))
+         + pz * (px + F32(33.33)))
+    px = px + d
+    py = py + d
+    pz = pz + d
+    return _fract((px + py) * pz)
+
+
+def per_block_unique_colour_soa(bx, by, bz):
+    """per_block_unique_colour on separate channels -> (r, g, b)."""
+    r, g, b = hash33_soa(bx.astype(F32) * F32(23.231),
+                         by.astype(F32) * F32(-435.4354),
+                         bz.astype(F32) * F32(9412.1))
+    n = jnp.maximum(jnp.sqrt(r * r + g * g + b * b), F32(1e-12))
+    return r / n, g / n, b / n
+
+
 def xorshift32(state):
     """The host-side PRNG the reference uses for light placement
     (src/utils.rs:1-10): x ^= x<<13; x ^= x>>7; x ^= x<<17."""
