@@ -285,6 +285,40 @@ def test_soft_shadow_cone_equals_pure_dda_frame(small_world):
 
 
 @pytest.mark.full
+def test_soft_shadow_residue_overflow_net(small_world):
+    """The batched soft-shadow residue pack has a cond-guarded full-width
+    overflow net; force it to FIRE (cap 64 <<< the residue) and require
+    the frame to stay identical to the default-cap frame."""
+    import jax.numpy as jnp
+
+    from vvr_tpu.config import RenderConfig, WorldConfig
+    from vvr_tpu.ops.raygen import camera_rays
+    from vvr_tpu.render.frame import render_frame
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.render.scene import build_scene
+    from vvr_tpu.utils.camera import Camera
+
+    wcfg = WorldConfig(depth=3)
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    cfg = RenderConfig(width=96, height=64, shadow_samples=4,
+                       max_ray_iterations=2, skybox_resolution=32,
+                       clouds_resolution=32, traversal="jump",
+                       sun_mask="auto")
+    scene = build_scene(wcfg, with_density=False)
+    r = Renderer(wcfg, cfg, scene=scene)
+    assert r.use_sunmask
+    o, d = camera_rays(cam, cfg.render_width, cfg.render_height)
+    grid = scene.ensure_jumpgrid()
+    sunmask = r._sunmask()
+    sun = jnp.asarray(r.sun)
+    img_def, _ = render_frame(grid, o, d, sun, jnp.float32(0.0), cfg,
+                              sunmask=sunmask)
+    img_of, _ = render_frame(grid, o, d, sun, jnp.float32(0.0), cfg,
+                             sunmask=sunmask, soft_residue_cap=64)
+    np.testing.assert_array_equal(np.asarray(img_of), np.asarray(img_def))
+
+
+@pytest.mark.full
 def test_cone_gate_agrees_with_per_sample_oracle(small_world):
     """Cone-grid certainty must agree with EVERY jittered direction's
     exact trace (the shared-classification soundness claim)."""

@@ -85,3 +85,5 @@ if __name__ == "__main__":
         config5("jump")
     if which in ("5p", "both-p"):
         config5("pyramid")
+    if which.startswith("5:"):       # e.g. 5:paged, 5:auto
+        config5(which[2:])

@@ -102,6 +102,61 @@ def _norm(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
+def _trace_packed_sorted(tr, ox, oy, oz, dx, dy, dz, active, cap: int,
+                         size: int):
+    """Between-bounce ray reordering (the reference's designed-but-unbuilt
+    wavefront plan, README.md:61-67): front-pack the sparse bounce-ray set
+    SORTED by (direction octant, origin superbrick), so the packed DDA
+    walks rays that share jump-grid rows and octant tables side by side
+    instead of in scanline order. Bit-exact: traversal is per-ray
+    deterministic, so order only affects speed; lanes that overflow `cap`
+    run a full-width masked trace under lax.cond (zero cost unless it
+    fires). Returns a TraceResult at full width (stats zeroed — bounce
+    rays never feed the debug heatmaps)."""
+    from vvr_tpu.ops.traverse import BIG_T, TraceResult
+    n = ox.shape[0]
+    g = max(size // 8, 1)
+    sbx = jnp.clip(ox.astype(I32) >> 3, 0, g - 1)
+    sby = jnp.clip(oy.astype(I32) >> 3, 0, g - 1)
+    sbz = jnp.clip(oz.astype(I32) >> 3, 0, g - 1)
+    sb = sbx + sby * g + sbz * (g * g)
+    octk = ((dx > 0).astype(I32) + 2 * (dy > 0).astype(I32)
+            + 4 * (dz > 0).astype(I32))
+    key = jnp.where(active, octk * (g * g * g) + sb,
+                    jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)[:cap]
+    valid = active[order]
+    so = jnp.stack([ox[order], oy[order], oz[order]], -1)
+    sd = jnp.stack([dx[order], dy[order], dz[order]], -1)
+    sub = tr(so, sd, active=valid)
+
+    mark = jnp.zeros((n,), bool).at[order].set(valid, mode="drop")
+    overflow = active & ~mark
+    zero_i = jnp.zeros((n,), I32)
+
+    def full(_):
+        return tr(jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1),
+                  active=overflow)
+
+    def none(_):
+        return TraceResult(hit=jnp.zeros((n,), bool), face=zero_i,
+                           axis_coord=zero_i, t=jnp.full((n,), F32(BIG_T)),
+                           iterations=zero_i, fetches=zero_i,
+                           missed_pops=zero_i)
+
+    rest = jax.lax.cond(jnp.any(overflow), full, none, None)
+
+    def scat(base, v, default):
+        return base.at[order].set(jnp.where(valid, v, default), mode="drop")
+
+    return TraceResult(
+        hit=scat(rest.hit, sub.hit, False),
+        face=scat(rest.face, sub.face, 0),
+        axis_coord=scat(rest.axis_coord, sub.axis_coord, 0),
+        t=scat(rest.t, sub.t, F32(BIG_T)),
+        iterations=zero_i, fetches=zero_i, missed_pops=zero_i)
+
+
 def heatmap(x):
     """Debug heatmap: blue -> green -> red over [0, 1]."""
     x = jnp.clip(x, 0.0, 1.0)[..., None]
@@ -114,7 +169,7 @@ def heatmap(x):
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
                   lights=None, overlap_pyr=None, raster=None, sunmask=None,
-                  band=None):
+                  band=None, soft_residue_cap: int | None = None):
     """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
     acceleration structure (BrickPyramid or JumpGrid — make_tracer
     dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
@@ -167,9 +222,19 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             res = trace_raster(faces, rcam, d_aos, probe, size,
                                cfg.render_width, cfg.render_height,
                                j0=j0, band_h=band_h)
+        elif bounce == 0:
+            res = tr(o, d_aos, active=active, with_stats=need_stats)
+        elif n >= 4096:
+            # mirror continuation rays are a sparse subset (hash-gated
+            # blocks x hit lanes): pack + reorder them instead of paying a
+            # full-width masked DDA. Bounce 1 can reach ~15-20% of lanes
+            # (1/5 of 8^3 block groups are mirrors); deeper bounces decay
+            # geometrically — cap accordingly, overflow net keeps it exact
+            cap = max(n // 4, 2048) if bounce == 1 else max(n // 16, 2048)
+            res = _trace_packed_sorted(tr, ox, oy, oz, dx, dy, dz, active,
+                                       cap, size)
         else:
-            o_aos = o if bounce == 0 else jnp.stack([ox, oy, oz], -1)
-            res = tr(o_aos, d_aos, active=active, with_stats=need_stats)
+            res = tr(jnp.stack([ox, oy, oz], -1), d_aos, active=active)
         hit = res.hit & active
         sgx = jnp.where(dx >= 0, F32(1.0), F32(-1.0))
         sgy = jnp.where(dy >= 0, F32(1.0), F32(-1.0))
@@ -269,33 +334,95 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                                           size)
                 dda_active = shadow_active & ~kh & ~km
                 dda_cap = max(n // 4, 2048) if n >= 4096 else None
-            shadow = zero_f
-            for s in range(cfg.shadow_samples):
+            def sample_dir(s, px, py, pz):
+                """Jittered sun direction + strength for sample `s` at
+                surface channels (px,py,pz) — raytracer.slang:332-342."""
                 c1, c2 = F32(23.12123545), F32(s * 30.43324)
-                rx, ry, rz = hash33_soa(ssx * c1 + c2, ssy * c1 + c2,
-                                        ssz * c1 + c2)
-                rx, ry, rz = rx * 2.0 - 1.0, ry * 2.0 - 1.0, rz * 2.0 - 1.0
-                sdx = sun3[0] + rx * 0.005
-                sdy = sun3[1] + ry * 0.005
-                sdz = sun3[2] + rz * 0.005
-                sn = jnp.maximum(jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz),
-                                 1e-12)
+                rx, ry, rz = hash33_soa(px * c1 + c2, py * c1 + c2,
+                                        pz * c1 + c2)
+                sdx = sun3[0] + (rx * 2.0 - 1.0) * 0.005
+                sdy = sun3[1] + (ry * 2.0 - 1.0) * 0.005
+                sdz = sun3[2] + (rz * 2.0 - 1.0) * 0.005
+                sn = jnp.maximum(jnp.sqrt(sdx * sdx + sdy * sdy
+                                          + sdz * sdz), 1e-12)
                 sdx, sdy, sdz = sdx / sn, sdy / sn, sdz / sn
                 strength = jnp.power(jnp.clip(
                     sdx * sun3[0] + sdy * sun3[1] + sdz * sun3[2],
                     0.0, 1.0), 40.0)
-                s_o = jnp.stack([ssx + sun3[0] * 0.004 + sdx * 0.05,
-                                 ssy + sun3[1] * 0.004 + sdy * 0.05,
-                                 ssz + sun3[2] * 0.004 + sdz * 0.05], -1)
-                sdir = jnp.stack([sdx, sdy, sdz], -1)
-                s_dda = tr(s_o, sdir, active=dda_active,
-                           pack_first=dda_cap, shadow=True).hit
+                return sdx, sdy, sdz, strength
+
+            def ray_start(px, py, pz, sdx, sdy, sdz):
+                return (px + sun3[0] * 0.004 + sdx * 0.05,
+                        py + sun3[1] * 0.004 + sdy * 0.05,
+                        pz + sun3[2] * 0.004 + sdz * 0.05)
+
+            S = cfg.shadow_samples
+            s_ddas = None
+            if n >= 4096 and sunmask is not None:
+                # batched residue DDA: dda_active is SAMPLE-INDEPENDENT
+                # (the cone gate covers the whole jitter disc), so pack
+                # the residue once and trace all S jittered samples in
+                # ONE call — S packs + S trace launches (each with its
+                # fixed phase1 cost over n/4 lanes) collapse into one
+                # nonzero + one launch over S*(n/8) tightly packed lanes
+                cap1 = soft_residue_cap or max(n // 8, 4096)
+                idx = jnp.nonzero(dda_active, size=cap1, fill_value=n)[0]
+                p_valid = idx < n
+                safe = jnp.minimum(idx, n - 1)
+                pxs, pys, pzs = ssx[safe], ssy[safe], ssz[safe]
+                mark = jnp.zeros((n,), bool).at[idx].set(p_valid,
+                                                         mode="drop")
+                overflow = dda_active & ~mark
+                bo, bd = [], []
+                for s in range(S):
+                    sdx, sdy, sdz, _ = sample_dir(s, pxs, pys, pzs)
+                    sox_, soy_, soz_ = ray_start(pxs, pys, pzs,
+                                                 sdx, sdy, sdz)
+                    bo.append(jnp.stack([sox_, soy_, soz_], -1))
+                    bd.append(jnp.stack([sdx, sdy, sdz], -1))
+                bhit = tr(jnp.concatenate(bo, 0), jnp.concatenate(bd, 0),
+                          active=jnp.tile(p_valid, S),
+                          shadow=True).hit.reshape(S, cap1)
+
+                # overflow net (cap exceeded): per-sample full-width
+                # masked traces under ONE cond — zero runtime unless the
+                # residue really exceeds n/8 (silhouette-heavy suns)
+                def of_traces(_):
+                    outs = []
+                    for s in range(S):
+                        sdx, sdy, sdz, _ = sample_dir(s, ssx, ssy, ssz)
+                        sox_, soy_, soz_ = ray_start(ssx, ssy, ssz,
+                                                     sdx, sdy, sdz)
+                        outs.append(tr(
+                            jnp.stack([sox_, soy_, soz_], -1),
+                            jnp.stack([sdx, sdy, sdz], -1),
+                            active=overflow, shadow=True).hit)
+                    return jnp.stack(outs, 0)
+
+                rest = jax.lax.cond(jnp.any(overflow), of_traces,
+                                    lambda _: jnp.zeros((S, n), bool), None)
+                s_ddas = [
+                    rest[s].at[idx].set(bhit[s] & p_valid, mode="drop")
+                    for s in range(S)]
+
+            shadow = zero_f
+            for s in range(S):
+                sdx, sdy, sdz, strength = sample_dir(s, ssx, ssy, ssz)
+                if s_ddas is not None:
+                    s_dda = s_ddas[s]
+                else:
+                    sox_, soy_, soz_ = ray_start(ssx, ssy, ssz,
+                                                 sdx, sdy, sdz)
+                    s_dda = tr(jnp.stack([sox_, soy_, soz_], -1),
+                               jnp.stack([sdx, sdy, sdz], -1),
+                               active=dda_active, pack_first=dda_cap,
+                               shadow=True).hit
                 s_hit = kh | (~km & s_dda)
                 _, _, _, cl_a = sky_ops.sample_clouds_blocked_soa(
                     clouds_blk, cfg.clouds_resolution, (sdx, sdy, sdz),
                     ssx, ssy, ssz)
                 shadow = shadow + jnp.where(
-                    s_hit, 0.0, strength * (1.0 - cl_a)) / cfg.shadow_samples
+                    s_hit, 0.0, strength * (1.0 - cl_a)) / S
         elif cfg.shadow_samples == 1:
             s_o = (ssx + sun3[0] * 0.05, ssy + sun3[1] * 0.05,
                    ssz + sun3[2] * 0.05)
@@ -420,11 +547,12 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials",
+                                             "soft_residue_cap"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
                  lights=None, overlap_pyr=None, raster=None, sunmask=None,
-                 sky=None):
+                 sky=None, soft_residue_cap: int | None = None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. `pyr` is either acceleration
     structure (see make_tracer); `raster` optionally supplies
@@ -443,7 +571,8 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
     (r, g, b), alpha, dbg = raytrace_pass(pyr, o, d, skybox, clouds_tex,
                                           sun, time, cfg, svt_density,
                                           mirror_materials, lights,
-                                          overlap_pyr, raster, sunmask)
+                                          overlap_pyr, raster, sunmask,
+                                          soft_residue_cap=soft_residue_cap)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         r, g, b = (dbg_img[..., 0].reshape(-1), dbg_img[..., 1].reshape(-1),

@@ -56,7 +56,11 @@ class Renderer:
         self.cfg = render_cfg
         self.scene = scene or build_scene(
             world_cfg, force_regenerate=force_regenerate,
-            with_density=render_cfg.ambient_occlusion)
+            with_density=render_cfg.ambient_occlusion,
+            # at paged scale the pyramid is 260 MB the frame never reads
+            # (the probe is a host lookup; the raster debug path / overlap
+            # AO call ensure_pyramid on demand)
+            with_pyramid=not render_cfg.use_paged(world_cfg.size))
         self.mirror_materials = mirror_materials
         self.dynamic_world = dynamic_world
         self.svt = None
@@ -134,14 +138,13 @@ class Renderer:
         accel = (self.scene.jumpgrid if self.use_jump
                  else self.scene.jumpgrid2 if self.use_jump2
                  else self.scene.paged if self.use_paged
-                 else self.scene.pyramid)
+                 else self.scene.ensure_pyramid())
         needs_overlap = (self.cfg.ambient_occlusion
                          and self.cfg.ao_mode == "overlap"
                          and (self.use_jump or self.use_jump2
                               or self.use_paged))
         raster = None
         if self.use_raster:
-            from vvr_tpu.ops.traverse import solid_at
             right, up, forward = camera.basis()
             tan_half = np.float32(np.tan(np.radians(camera.fov) / 2.0))
             rcam = (jax.numpy.asarray(camera.position, np.float32),
@@ -149,8 +152,11 @@ class Renderer:
                     jax.numpy.asarray(up, np.float32),
                     jax.numpy.asarray(forward, np.float32),
                     jax.numpy.float32(tan_half))
-            probe = solid_at(self.scene.pyramid,
-                             jax.numpy.asarray(camera.position, np.float32))
+            # camera-inside-solid probe: host chunk lookup (same clip
+            # semantics as ops/traverse.solid_at) — no device structure
+            # and no per-frame micro-dispatch through the tunnel
+            probe = jax.numpy.asarray(
+                self.scene.solid_at_host(camera.position))
             raster = (self.scene.faces, rcam, probe)
         sunmask = self._sunmask() if self.use_sunmask else None
         sky = self._sky(t)
@@ -163,7 +169,8 @@ class Renderer:
             mirror_materials=self.mirror_materials,
             lights=jax.numpy.asarray(self.scene.lights)
             if self.cfg.point_lights else None,
-            overlap_pyr=self.scene.pyramid if needs_overlap else None,
+            overlap_pyr=self.scene.ensure_pyramid() if needs_overlap
+            else None,
             raster=raster, sunmask=sunmask, sky=sky)
         return self._finish_frame(img, t0, timed, fetch, tainted=retried)
 
@@ -260,8 +267,9 @@ class Renderer:
         """The debug_type == 0 rasterization path (renderer.rs:694-771)."""
         from vvr_tpu.render.raster import raster_debug_frame
         t0 = _time.monotonic()
-        img = raster_debug_frame(self.mesh, self.scene.pyramid, camera,
-                                 jax.numpy.asarray(self.sun), t, self.cfg)
+        img = raster_debug_frame(self.mesh, self.scene.ensure_pyramid(),
+                                 camera, jax.numpy.asarray(self.sun), t,
+                                 self.cfg)
         return self._finish_frame(img, t0, timed, fetch)
 
     def profile_frame(self, camera: Camera, trace_dir: str = "/tmp/vvr_trace"):
@@ -276,9 +284,13 @@ class Renderer:
     def memory_report(self) -> dict:
         """Device-buffer size report (the J-key gpu-allocator report analog,
         src/renderer.rs:451-454)."""
-        rep = {"pyramid_rows_mb": self.scene.pyramid.rows.nbytes / 2 ** 20}
+        rep = {}
+        if self.scene.pyramid is not None:
+            rep["pyramid_rows_mb"] = self.scene.pyramid.rows.nbytes / 2 ** 20
         if self.scene.jumpgrid is not None:
             rep["jumpgrid_rows_mb"] = self.scene.jumpgrid.rows.nbytes / 2 ** 20
+        if getattr(self.scene, "paged", None) is not None:
+            rep["paged_mb"] = self.scene.paged.memory_bytes() / 2 ** 20
         if self.scene.density is not None:
             rep["density_mb"] = self.scene.density.nbytes / 2 ** 20
         if self.svt is not None:

@@ -42,6 +42,35 @@ class Scene:
     epoch: int = 0           # world version: bump on ANY occupancy change
                              # (WorldEditor sync) — cache keys (sun grids)
                              # include it so derived structures invalidate
+    _chunk_index: dict | None = None  # solid_at_host lookup cache
+
+    def ensure_pyramid(self):
+        """Build the brick pyramid lazily. At paged-grid scales (1024^3)
+        the pyramid is 260 MB of redundant structure the frame never
+        reads — build_scene(with_pyramid=False) skips it and the few
+        non-hot consumers (raster debug path, overlap AO) call this."""
+        if self.pyramid is None:
+            self.pyramid = brick_pyramid_from_chunks(self.chunks,
+                                                     self.cfg.size)
+        return self.pyramid
+
+    def solid_at_host(self, p) -> bool:
+        """Host-side point occupancy (the camera-inside-solid probe the
+        rasterizer needs — ops/rastertrace.py). Chunk-dict lookup; no
+        device structure required (at 1024^3 the device pyramid existed
+        only for this one probe)."""
+        from vvr_tpu.world.chunk import CHUNK_SIZE
+        s = self.cfg.size
+        x, y, z = (int(min(max(np.floor(c), 0), s - 1)) for c in p)
+        if self._chunk_index is None:
+            self._chunk_index = {tuple(int(v) for v in c.position): c
+                                 for c in self.chunks}
+        c = self._chunk_index.get((x // CHUNK_SIZE, y // CHUNK_SIZE,
+                                   z // CHUNK_SIZE))
+        if c is None:
+            return False
+        return bool(c.voxels[z % CHUNK_SIZE, y % CHUNK_SIZE,
+                             x % CHUNK_SIZE])
 
     def ensure_tree(self):
         """Build the reference-layout SVO buffers lazily (a parity /
@@ -114,7 +143,7 @@ class Scene:
 
 def build_scene(cfg: WorldConfig, force_regenerate: bool = False,
                 cache_path=None, with_density: bool = True,
-                with_tree: bool = False) -> Scene:
+                with_tree: bool = False, with_pyramid: bool = True) -> Scene:
     """create_sparse_structures analog (src/voxel.rs:20-125): load the cached
     world or generate + cache it, then build device structures."""
     path = cache_path or cache_mod.default_cache_path(cfg.size)
@@ -131,7 +160,8 @@ def build_scene(cfg: WorldConfig, force_regenerate: bool = False,
         except OSError as e:  # pragma: no cover
             log.warning("could not write world cache: %s", e)
 
-    pyramid = brick_pyramid_from_chunks(chunks, cfg.size)
+    pyramid = brick_pyramid_from_chunks(chunks, cfg.size) \
+        if with_pyramid else None
     tree = None
     if with_tree:
         occ_pyr = build_pyramid_from_chunks(chunks, cfg.size)
