@@ -82,6 +82,7 @@ def test_volume_overlap_basic():
     assert np.isclose(float(v[0]), 0.5)
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("half", [0.8, 1.5, 2.4])
 def test_cube_density_vs_oracle(scene, half):
     occ, pyr = scene
@@ -104,6 +105,7 @@ def test_planar_density_vs_oracle(scene):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.full
 def test_svo_variant_equals_svt(scene):
     occ, pyr = scene
     rng = np.random.default_rng(4)

@@ -190,6 +190,7 @@ def test_sharded_flagship_frame(small_world):
     assert (diff > 0).mean() < 1e-3
 
 
+@pytest.mark.full
 def test_graft_entry_contract():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -51,6 +51,7 @@ def test_frame_shapes_and_content(pyr):
     assert img.std() > 10
 
 
+@pytest.mark.full
 def test_shadows_darken(pyr):
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
     img_sh, _ = _render(pyr, cam)
@@ -59,6 +60,7 @@ def test_shadows_darken(pyr):
     assert img_nosh.astype(int).sum() > img_sh.astype(int).sum()
 
 
+@pytest.mark.full
 def test_soft_shadows_run(pyr):
     cfg = RenderConfig(**{**SMALL_CFG.__dict__, "shadow_samples": 4})
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
@@ -66,6 +68,7 @@ def test_soft_shadows_run(pyr):
     assert np.isfinite(hdr).all()
 
 
+@pytest.mark.full
 def test_debug_modes_render(pyr):
     # reference DebugType numbering: 1=iterations 2=fetches 3=normals
     # 4=world 5=exit-type (raytracer.slang:46-53)
@@ -82,6 +85,7 @@ def test_debug_modes_render(pyr):
     assert (imgs[5] != imgs[1]).any(), "exit-type == iterations heatmap"
 
 
+@pytest.mark.full
 def test_raster_debug_path(pyr, small_world):
     """debug_type == 0: real mesh rasterization (render/raster.py), not the
     raytracer (renderer.rs:694-771 + rasterized.slang)."""
@@ -104,6 +108,7 @@ def test_raster_debug_path(pyr, small_world):
     assert (np.abs(img.astype(int) - main_img.astype(int)) > 8).mean() > 0.05
 
 
+@pytest.mark.full
 def test_raster_debug_closeup_no_dropped_triangles(pyr, small_world):
     """Triangles projecting wider than K_BIG pixels must still be drawn
     (full-screen fallback pass) — the round-3 build dropped them, so
@@ -133,6 +138,7 @@ def test_raster_debug_closeup_no_dropped_triangles(pyr, small_world):
         "close-up ground not rasterized (huge triangles dropped?)"
 
 
+@pytest.mark.full
 def test_jump_traversal_frame_matches_pyramid(small_world, pyr):
     """traversal='jump' must produce the IDENTICAL frame: both kernels are
     oracle-bit-exact on hit/face/axis_coord, and shading consumes only
@@ -148,6 +154,7 @@ def test_jump_traversal_frame_matches_pyramid(small_world, pyr):
     np.testing.assert_array_equal(hdr_j, hdr_p)
 
 
+@pytest.mark.full
 def test_jump2_traversal_frame_matches_pyramid(small_world, pyr):
     """traversal='jump2' (the two-tier grid, now selectable —
     VERDICT r3 #6) must also produce the IDENTICAL frame."""
@@ -161,6 +168,7 @@ def test_jump2_traversal_frame_matches_pyramid(small_world, pyr):
     np.testing.assert_array_equal(hdr_j, hdr_p)
 
 
+@pytest.mark.full
 def test_paged_traversal_frame_matches_pyramid(small_world, pyr):
     """traversal='paged' (the two-level 1024^3-scale grid, ops/paged.py)
     must also produce the IDENTICAL frame — the kernel is oracle-bit-exact
@@ -176,6 +184,7 @@ def test_paged_traversal_frame_matches_pyramid(small_world, pyr):
     np.testing.assert_array_equal(hdr_j, hdr_p)
 
 
+@pytest.mark.full
 def test_raster_primary_frame_matches_dda(small_world, pyr):
     """The rasterized-primary frame must be pixel-identical to the DDA
     frame: bounce-0 visibility is oracle-exact either way, and shading
@@ -199,6 +208,7 @@ def test_raster_primary_frame_matches_dda(small_world, pyr):
     np.testing.assert_array_equal(hdr_r, hdr_dda)
 
 
+@pytest.mark.full
 def test_mirror_materials_bounce(pyr):
     cfg = RenderConfig(**{**SMALL_CFG.__dict__, "max_ray_iterations": 3})
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
@@ -206,6 +216,7 @@ def test_mirror_materials_bounce(pyr):
     assert np.isfinite(hdr).all()
 
 
+@pytest.mark.full
 def test_ambient_occlusion_darkens(small_world, pyr):
     from vvr_tpu.world.svt import density_from_occupancy
     _, _, occ = small_world
@@ -221,6 +232,7 @@ def test_ambient_occlusion_darkens(small_world, pyr):
     assert img_ao.astype(int).sum() < img_no.astype(int).sum()
 
 
+@pytest.mark.full
 def test_downscale_factor(pyr):
     cfg = RenderConfig(**{**SMALL_CFG.__dict__, "downscale_factor": 2})
     cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)

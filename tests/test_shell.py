@@ -82,6 +82,7 @@ def test_movement_snapshot_cycle():
     assert m.position[0] == 1
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("frames", [3])
 def test_app_loop_headless(frames, small_world):
     from vvr_tpu.app import App

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vvr_tpu.ops import sky
 
@@ -43,6 +44,7 @@ def test_sun_colour_lerp():
     assert sunset[0] > sunset[2]
 
 
+@pytest.mark.full
 def test_skybox_roundtrip():
     """sample_skybox must invert the write_skybox face mapping: sampling the
     cubemap in a random direction matches evaluating sky() directly."""
@@ -78,6 +80,7 @@ def test_clouds_sampling_above_plane_only():
     assert np.all(np.isfinite(c_up))
 
 
+@pytest.mark.full
 def test_miss_shader_blends():
     tex = sky.write_clouds(SUN_UP, 0.0, resolution=32)
     box = sky.write_skybox(SUN_UP, 0.0, resolution=32)
