@@ -215,3 +215,27 @@ def test_adversarial_near_tie_winners():
                 and not occ[nb[2], nb[1], nb[0]]:
             ties += 1
     assert ties > 0, "no cross-axis near-tie pixels (not adversarial)"
+
+
+def test_raster_tile_shapes_bit_identical(small_world):
+    """The tile shape (tkx, tky) is a pure performance knob: u32
+    scatter-min winners are order-free, so every shape must produce
+    bit-identical TraceResults (tools/ab_raster_tile.py measures which
+    shape is fastest at bench scale)."""
+    _, _, occ = small_world
+    size = occ.shape[0]
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    pyr = build_brick_pyramid(occ)
+    probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+    w, h = 96, 64
+    _, d = camera_rays(cam, w, h)
+    fdt = _faces_dev(occ)
+    ct = _cam_tuple(cam)
+    ref = trace_raster(fdt, ct, d, probe, size, w, h, tkx=4, tky=4)
+    for tkx, tky in ((8, 8), (16, 8), (32, 4), (16, 16), (8, 4)):
+        res = trace_raster(fdt, ct, d, probe, size, w, h, tkx=tkx, tky=tky)
+        for fld in ("hit", "face", "axis_coord", "t"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(res, fld)),
+                np.asarray(getattr(ref, fld)),
+                err_msg=f"{fld} mismatch at tile {tkx}x{tky}")

@@ -153,7 +153,15 @@ def _project_faces(fv, cam, width: int, height: int):
             jmax, jnp.stack(ics, -1), jnp.stack(jcs, -1))
 
 
-TK = 4  # tile edge in pixels; fragments per entry = TK*TK
+# Default tile shape in pixels; fragments per entry = TKX*TKY. The tile
+# is the fragment vector's MINOR axis: (CH, TKX*TKY) elementwise ops run
+# at (TKX*TKY)/128 lane utilization on TPU (8,128)-tiled vregs, so wider
+# tiles trade wasted coverage lanes (small faces still pay a full tile)
+# for full-width vector ops. 4x4 was the round-2 choice when the scatter
+# was per-ELEMENT; with the round-4 per-entry row scatter the best
+# measured shape is wider (tools/ab_raster_tile.py).
+TKX = 4
+TKY = 4
 
 
 def _f32_bits(t):
@@ -189,11 +197,12 @@ def _key_decode(key):
 
 @functools.partial(jax.jit, static_argnames=("size", "width", "height",
                                              "cap_entries", "cap_screen",
-                                             "band_h"))
+                                             "band_h", "tkx", "tky"))
 def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
                  height: int, cap_entries: int = 1 << 20,
                  cap_screen: int = 4096, j0=0,
-                 band_h: int | None = None) -> TraceResult:
+                 band_h: int | None = None, tkx: int = TKX,
+                 tky: int = TKY) -> TraceResult:
     """First hits of the camera's H x W primary rays against the face set.
 
     Band mode (multi-chip sharding, parallel/mesh.py): pass `band_h` (the
@@ -256,13 +265,13 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     # scattering the same fragments as elements. u32-min over identical
     # keys is order-free, so winners are bit-identical to the element
     # scatter's (and band tile alignment does not matter either).
-    ntx = -(-width // TK)
-    nty = -(-band_h // TK)
+    ntx = -(-width // tkx)
+    nty = -(-band_h // tky)
     n_tiles = ntx * nty
-    ti0 = imin // TK
-    tw = imax // TK - ti0 + 1
-    tj0 = (jmin - j0) // TK
-    th_ = (jmax - j0) // TK - tj0 + 1
+    ti0 = imin // tkx
+    tw = imax // tkx - ti0 + 1
+    tj0 = (jmin - j0) // tky
+    th_ = (jmax - j0) // tky - tj0 + 1
     cnt = jnp.where(ok, tw * th_, 0)
     off = jnp.cumsum(cnt) - cnt                            # exclusive scan
     placed = ok & (off + cnt <= cap_entries)
@@ -286,7 +295,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
 
     # process entries in dynamic-trip chunks so the cost scales with the
     # camera's actual entry count, not the static capacity
-    q = jnp.arange(TK * TK, dtype=I32)[None, :]
+    q = jnp.arange(tkx * tky, dtype=I32)[None, :]
 
     # (A hierarchical-z occlusion cull was built and measured here in
     # round 3 — global-tile-aligned entries, per-tile far depth from
@@ -296,7 +305,7 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     # entry inflation (138-155 ms -> 165-167 ms). Reverted; ledger in
     # PROGRESS.md.)
 
-    tbuf_t = jnp.full((n_tiles + 1, TK * TK), SENTINEL, jnp.uint32)
+    tbuf_t = jnp.full((n_tiles + 1, tkx * tky), SENTINEL, jnp.uint32)
 
     def chunk_body(c):
         start, tb = c
@@ -308,16 +317,16 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         li = ek - row[:, 5]
         til = row[:, 12] + li % jnp.maximum(row[:, 4], 1)
         tjl = row[:, 13] + li // jnp.maximum(row[:, 4], 1)
-        base_i = til * TK
-        base_j = tjl * TK + j0
+        base_i = til * tkx
+        base_j = tjl * tky + j0
         e_ax = row[:, 9] >> 1
         e_sgn = row[:, 9] & 1
         e_vx, e_vy, e_vz = row[:, 6], row[:, 7], row[:, 8]
         e_plane = (jnp.where(e_ax == 0, e_vx,
                              jnp.where(e_ax == 1, e_vy, e_vz))
                    + e_sgn).astype(F32)
-        i = base_i[:, None] + (q % TK)
-        j = base_j[:, None] + (q // TK)
+        i = base_i[:, None] + (q % tkx)
+        j = base_j[:, None] + (q // tkx)
         # screen-aligned tiles can overhang the face bbox on every side
         ins = (ent_ok[:, None]
                & (i >= row[:, 0][:, None]) & (i <= row[:, 2][:, None])
@@ -429,8 +438,8 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     # Cross-axis ties were already resolved DURING the scatter by the
     # oracle's step preference over real fragments.
     # unpack tiles to pixel order (pure relayout) and merge the net buffer
-    key_t = tbuf_t[:n_tiles].reshape(nty, ntx, TK, TK).transpose(
-        0, 2, 1, 3).reshape(nty * TK, ntx * TK)
+    key_t = tbuf_t[:n_tiles].reshape(nty, ntx, tky, tkx).transpose(
+        0, 2, 1, 3).reshape(nty * tky, ntx * tkx)
     key = jnp.minimum(key_t[:band_h, :width].reshape(-1), tbuf[:n_pix])
     hit = key != SENTINEL
     wbits, face = _key_decode(key)
