@@ -58,22 +58,6 @@ U32 = jnp.uint32
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-def _ray_dir(i, j, cam, width: int, height: int):
-    """Per-pixel normalized direction — MUST mirror raygen.generate_rays
-    op-for-op so fragment floats equal the wavefront's d array."""
-    pos, right, up, forward, tan_half = cam
-    ratio = width / height
-    u = (i.astype(F32) + 0.5) / width * 2.0 - 1.0
-    v = 1.0 - (j.astype(F32) + 0.5) / height * 2.0
-    tx = tan_half
-    ty = tan_half / ratio
-    du = u[..., None] * tx * right
-    dv = v[..., None] * ty * up
-    d = forward + du + dv
-    from vvr_tpu.ops.raygen import normalize_dirs
-    return normalize_dirs(d)
-
-
 def _project_faces(fv, cam, width: int, height: int):
     """Per-face visibility + conservative pixel bbox of the projected quad.
     Returns (visible, straddle, onscreen, imin, imax, jmin, jmax,
@@ -307,6 +291,14 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
 
     tbuf_t = jnp.full((n_tiles + 1, tkx * tky), SENTINEL, jnp.uint32)
 
+    # raygen constants for the in-body SoA direction math (must mirror
+    # raygen.generate_rays op-for-op; see _ray_dir)
+    ratio = width / height
+    tan_half = cam[4]
+    txc = tan_half
+    tyc = tan_half / ratio
+    right, up, forward = cam[1], cam[2], cam[3]
+
     def chunk_body(c):
         start, tb = c
         ek = start + jnp.arange(CH, dtype=I32)
@@ -314,14 +306,21 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
         row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
                        mode="clip")                        # (CH, 14)
-        li = ek - row[:, 5]
-        til = row[:, 12] + li % jnp.maximum(row[:, 4], 1)
-        tjl = row[:, 13] + li // jnp.maximum(row[:, 4], 1)
+        # ONE transpose, then major-axis rows: direct row[:, k] column
+        # slices of the (CH, 14) gather each paid a cross-lane relayout
+        # (the round-4 profile's 11 ms while/body/slice + 20 ms
+        # slice_reduce fusions); rows of the (14, CH) transpose are free
+        rowT = row.T
+        (e_imin, e_jmin, e_imax, e_jmax, e_tw, e_off, e_vx, e_vy, e_vz,
+         e_axsgn, e_eu_f, e_ev_f, e_ti0, e_tj0) = [rowT[k]
+                                                   for k in range(14)]
+        li = ek - e_off
+        til = e_ti0 + li % jnp.maximum(e_tw, 1)
+        tjl = e_tj0 + li // jnp.maximum(e_tw, 1)
         base_i = til * tkx
         base_j = tjl * tky + j0
-        e_ax = row[:, 9] >> 1
-        e_sgn = row[:, 9] & 1
-        e_vx, e_vy, e_vz = row[:, 6], row[:, 7], row[:, 8]
+        e_ax = e_axsgn >> 1
+        e_sgn = e_axsgn & 1
         e_plane = (jnp.where(e_ax == 0, e_vx,
                              jnp.where(e_ax == 1, e_vy, e_vz))
                    + e_sgn).astype(F32)
@@ -329,23 +328,30 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         j = base_j[:, None] + (q // tkx)
         # screen-aligned tiles can overhang the face bbox on every side
         ins = (ent_ok[:, None]
-               & (i >= row[:, 0][:, None]) & (i <= row[:, 2][:, None])
-               & (j >= row[:, 1][:, None]) & (j <= row[:, 3][:, None]))
-        d = _ray_dir(i, j, cam, width, height)             # (CH, TK*TK, 3)
+               & (i >= e_imin[:, None]) & (i <= e_imax[:, None])
+               & (j >= e_jmin[:, None]) & (j <= e_jmax[:, None]))
+        # SoA per-channel ray directions (the _ray_dir op sequence without
+        # the (CH, TK*TK, 3) stack — same scalar ops, no minor-3 layout)
+        uu = (i.astype(F32) + 0.5) / width * 2.0 - 1.0
+        vv = 1.0 - (j.astype(F32) + 0.5) / height * 2.0
+        rdx = forward[0] + uu * txc * right[0] + vv * tyc * up[0]
+        rdy = forward[1] + uu * txc * right[1] + vv * tyc * up[1]
+        rdz = forward[2] + uu * txc * right[2] + vv * tyc * up[2]
+        dn = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+        rdx, rdy, rdz = rdx / dn, rdy / dn, rdz / dn
         ax2 = e_ax[:, None]
-        d_a = jnp.where(ax2 == 0, d[..., 0],
-                        jnp.where(ax2 == 1, d[..., 1], d[..., 2]))
+        d_a = jnp.where(ax2 == 0, rdx, jnp.where(ax2 == 1, rdy, rdz))
         o_a = jnp.where(ax2 == 0, pos[0],
                         jnp.where(ax2 == 1, pos[1], pos[2]))
         inv_a = jnp.where(d_a == 0.0, F32(BIG_T), 1.0 / d_a)
         t = (e_plane[:, None] - o_a) * inv_a
-        hx = jnp.floor(pos[0] + d[..., 0] * t).astype(I32)
-        hy = jnp.floor(pos[1] + d[..., 1] * t).astype(I32)
-        hz = jnp.floor(pos[2] + d[..., 2] * t).astype(I32)
+        hx = jnp.floor(pos[0] + rdx * t).astype(I32)
+        hy = jnp.floor(pos[1] + rdy * t).astype(I32)
+        hz = jnp.floor(pos[2] + rdz * t).astype(I32)
         # coverage is a per-cell range test over the merged rectangle —
         # identical fragments to rasterizing its unit faces one by one
-        e_eu = row[:, 10][:, None]
-        e_ev = row[:, 11][:, None]
+        e_eu = e_eu_f[:, None]
+        e_ev = e_ev_f[:, None]
         u_c = jnp.where(ax2 == 0, hy, hx)
         u_0 = jnp.where(ax2 == 0, e_vy[:, None], e_vx[:, None])
         v_c = jnp.where(ax2 == 2, hy, hz)

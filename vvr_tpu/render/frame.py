@@ -310,6 +310,27 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             ssx = jnp.floor(wx * 4.0) / 4.0
             ssy = jnp.floor(wy * 4.0) / 4.0
             ssz = jnp.floor(wz * 4.0) / 4.0
+        miss = active & ~res.hit
+
+        # merged cloud lookup (hard shadows): the shadow modulation (hit
+        # lanes, surface point toward the sun) and the miss shader (miss
+        # lanes, camera ray) gather the SAME blocked cloud table, and no
+        # lane ever needs both — one merged full-width gather replaces two
+        # (~25-32 ms each at 2M lanes, round-4 profile fusion.137/104).
+        # Each lane's index/sub/valid equal the unmerged lookup's, so the
+        # fetched values (and the frame) are bit-identical.
+        merged_clouds = None
+        if cfg.shadow_samples == 1:
+            v_s, row_s, sub_s = sky_ops.clouds_idx_soa(
+                cfg.clouds_resolution, sun3, ssx, ssy, ssz)
+            v_m, row_m, sub_m = sky_ops.clouds_idx_soa(
+                cfg.clouds_resolution, (dx, dy, dz), ox, oy, oz)
+            use_s = res.hit
+            merged_clouds = sky_ops.clouds_fetch_soa(
+                clouds_blk,
+                jnp.where(use_s, row_s, row_m),
+                jnp.where(use_s, sub_s, sub_m),
+                jnp.where(use_s, v_s, v_m))
         # shadow rays exist only for shaded lanes facing the sun — lighting()
         # multiplies by max(n.l, 0), so n.l <= 0 lanes never need the trace
         sun_facing = (nx * sun3[0] + ny * sun3[1] + nz * sun3[2]) > 0.0
@@ -439,8 +460,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                            jnp.broadcast_to(sun3, (n, 3)),
                            active=shadow_active,
                            pack_first=pack_cap, shadow=True).hit
-            _, _, _, cl_a = sky_ops.sample_clouds_blocked_soa(
-                clouds_blk, cfg.clouds_resolution, sun3, ssx, ssy, ssz)
+            cl_a = merged_clouds[3]  # hit lanes carry the shadow sample
             shadow = jnp.where(s_hit, 0.0, 1.0 - cl_a)
         else:
             shadow = one_f
@@ -480,15 +500,25 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         out_g = jnp.where(shaded, col_g * lit_g, out_g)
         out_b = jnp.where(shaded, col_b * lit_b, out_b)
 
-        miss = active & ~res.hit
         # miss shader at full width from BLOCKED tables: the sky gathers
         # index <=64K-row tables (fast regime) instead of 393K/262K rows,
         # and no packing machinery is paid (a packed variant measured
         # worse — the index gathers + scatter at the pack cap exceeded the
-        # blocked full-width gathers; round-3 ledger)
-        sky_r, sky_g, sky_b = sky_ops.sample_skybox_and_clouds_blocked_soa(
-            skybox_blk, cfg.skybox_resolution, clouds_blk,
-            cfg.clouds_resolution, (ox, oy, oz), dx, dy, dz)
+        # blocked full-width gathers; round-3 ledger, re-confirmed round 4
+        # at 107.6 vs 84.6 ms standalone, tools/microbench_skymiss.py)
+        if merged_clouds is not None:
+            # miss lanes carry the camera-ray cloud sample (merged gather)
+            cr_m, cg_m, cb_m, ca_m = merged_clouds
+            s_r, s_g, s_b = sky_ops.sample_skybox_blocked_soa(
+                skybox_blk, cfg.skybox_resolution, dx, dy, dz)
+            sky_r = s_r + (cr_m - s_r) * ca_m
+            sky_g = s_g + (cg_m - s_g) * ca_m
+            sky_b = s_b + (cb_m - s_b) * ca_m
+        else:
+            sky_r, sky_g, sky_b = \
+                sky_ops.sample_skybox_and_clouds_blocked_soa(
+                    skybox_blk, cfg.skybox_resolution, clouds_blk,
+                    cfg.clouds_resolution, (ox, oy, oz), dx, dy, dz)
         out_r = jnp.where(miss, col_r * sky_r, out_r)
         out_g = jnp.where(miss, col_g * sky_g, out_g)
         out_b = jnp.where(miss, col_b * sky_b, out_b)
