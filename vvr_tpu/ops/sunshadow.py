@@ -67,6 +67,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vvr_tpu.ops.pack import pack_indices_grouped
+
 F32 = jnp.float32
 I32 = jnp.int32
 
@@ -474,10 +476,16 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
 
     # ---- pack the ambiguous residue once: near segment + packed DDA ----
     # bench camera: amb ~6-8% of 2M lanes; n/12 leaves headroom for low
-    # suns (overflow stays exact through the full-width net below)
+    # suns (overflow stays exact through the full-width net below).
+    # TWO-STAGE pack: a full-width jnp.nonzero costs ~41 ms at 2M lanes
+    # (tools/microbench_pack.py — its scatter carries one index per INPUT
+    # lane), but ambiguity clusters on silhouettes: 5.9% ambiguous lanes
+    # live in 13.5% of 8-lane groups (measured, bench cam). Stage 1 packs
+    # GROUP ids at n/8 width; stage 2 tightens the expanded groups to
+    # true ambiguous lanes at the expanded width. Same index set, ~3x
+    # cheaper; either cap's overflow leaves lanes unmarked for the net.
     cap1 = max(n // 12, 4096)
-    idx = jnp.nonzero(amb, size=cap1, fill_value=n)[0]
-    valid = idx < n
+    idx, valid = pack_indices_grouped(amb, cap1)
     safe = jnp.minimum(idx, n - 1)
     p_o = jnp.stack([sox[safe], soy[safe], soz[safe]], -1)
     p_dda_active = valid
