@@ -272,10 +272,20 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
     CH = min(cap_entries, 1 << 17)
     ent_face = jnp.concatenate([ent_face, jnp.zeros((CH,), I32)])
 
-    # per-entry face data: one gather from a packed (F, 14) i32 table
-    ftab = jnp.stack([imin, jmin, imax, jmax, tw, off,
-                      vx, vy, vz, axis * 2 + sgn, feu, fev, ti0, tj0],
-                     axis=1)
+    # per-entry face data: one gather from a BIT-PACKED (F, 6) i32 table
+    # (the wider the row, the bigger the gather output and its transpose;
+    # every field is a small non-negative int, so 14 logical columns pack
+    # into 6 — exact shifts/masks, values unchanged). Field widths:
+    # pixels < 32768 (16-bit pairs), voxel coords < 65536, axis*2+sgn < 6
+    # (3 bits), face extents < 2048 (11 bits), off < cap_entries (2^20).
+    ftab = jnp.stack([
+        imin | (imax << 16),
+        jmin | (jmax << 16),
+        vx | (vy << 16),
+        vz | ((axis * 2 + sgn) << 16) | (feu << 19),
+        fev,
+        off,
+    ], axis=1)
 
     # process entries in dynamic-trip chunks so the cost scales with the
     # camera's actual entry count, not the static capacity
@@ -305,15 +315,23 @@ def trace_raster(faces, cam, d_rays, solid_probe, size: int, width: int,
         ent_ok = ek < total
         fidx = jax.lax.dynamic_slice(ent_face, (start,), (CH,))
         row = jnp.take(ftab, jnp.where(ent_ok, fidx, 0), axis=0,
-                       mode="clip")                        # (CH, 14)
-        # ONE transpose, then major-axis rows: direct row[:, k] column
-        # slices of the (CH, 14) gather each paid a cross-lane relayout
-        # (the round-4 profile's 11 ms while/body/slice + 20 ms
-        # slice_reduce fusions); rows of the (14, CH) transpose are free
+                       mode="clip")                        # (CH, 6)
+        # ONE transpose, then major-axis rows + bit unpack: direct
+        # row[:, k] column slices of the gather each paid a cross-lane
+        # relayout (the round-4 profile's 11 ms while/body/slice + 20 ms
+        # slice_reduce fusions); rows of the transpose are free and the
+        # field unpack is full-lane ALU
         rowT = row.T
-        (e_imin, e_jmin, e_imax, e_jmax, e_tw, e_off, e_vx, e_vy, e_vz,
-         e_axsgn, e_eu_f, e_ev_f, e_ti0, e_tj0) = [rowT[k]
-                                                   for k in range(14)]
+        c0, c1, c2, c3, e_ev_f, e_off = [rowT[k] for k in range(6)]
+        e_imin, e_imax = c0 & 0xFFFF, c0 >> 16
+        e_jmin, e_jmax = c1 & 0xFFFF, c1 >> 16
+        e_vx, e_vy = c2 & 0xFFFF, c2 >> 16
+        e_vz = c3 & 0xFFFF
+        e_axsgn = (c3 >> 16) & 7
+        e_eu_f = c3 >> 19
+        e_ti0 = e_imin // tkx
+        e_tw = e_imax // tkx - e_ti0 + 1
+        e_tj0 = (e_jmin - j0) // tky
         li = ek - e_off
         til = e_ti0 + li % jnp.maximum(e_tw, 1)
         tjl = e_tj0 + li // jnp.maximum(e_tw, 1)
