@@ -155,6 +155,33 @@ def test_raster_merged_equals_unit_faces(small_world):
                                   np.asarray(ru.axis_coord))
 
 
+def test_raster_cap_entries_invariance(small_world):
+    """cap_entries only moves faces between the tile-entry path and the
+    full-screen safety net — winners must be bit-identical at ANY
+    capacity. Guards the renderer's adaptive cap (_raster_cap): at
+    1024^3 the fixed 1<<20 overflowed and the net burned ~5.1 s/frame;
+    scaling the cap must not change a single pixel. A tiny cap forces
+    most faces THROUGH the net, so this also exercises net==entry
+    equivalence on a real terrain camera."""
+    _, _, occ = small_world
+    size = occ.shape[0]
+    pyr = build_brick_pyramid(occ)
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    probe = solid_at(pyr, jnp.asarray(cam.position, jnp.float32))
+    o, d = camera_rays(cam, 96, 64)
+    fd, ct = _faces_dev(occ), _cam_tuple(cam)
+    base = trace_raster(fd, ct, d, probe, size, 96, 64)
+    for cap in (256, 1 << 22):
+        alt = trace_raster(fd, ct, d, probe, size, 96, 64, cap_entries=cap)
+        np.testing.assert_array_equal(np.asarray(base.hit),
+                                      np.asarray(alt.hit))
+        np.testing.assert_array_equal(np.asarray(base.face),
+                                      np.asarray(alt.face))
+        np.testing.assert_array_equal(np.asarray(base.t), np.asarray(alt.t))
+        np.testing.assert_array_equal(np.asarray(base.axis_coord),
+                                      np.asarray(alt.axis_coord))
+
+
 def test_adversarial_near_tie_winners():
     """VERDICT r2 weak #5: two DISTINCT real faces whose crossings land
     within ulps of each other could swap the per-pixel winner. Engineer

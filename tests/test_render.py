@@ -217,6 +217,66 @@ def test_mirror_materials_bounce(pyr):
 
 
 @pytest.mark.full
+def test_config4_shaped_bounce_caps_exact(small_world, pyr):
+    """Config-4-shaped frame (mirrors + 4-sample soft shadows + classifier
+    + AO) at wavefront scale (96x64 = 6144 >= 4096 lanes, so every packed
+    path and bounce-scaled capacity ENGAGES). Two equality contracts:
+
+    1. classifier+packed frame vs pure full-width DDA frame (sun_mask
+       off) — the masked/packed machinery with per-bounce shrunken caps
+       (render/frame.py bshrink) must not change the image beyond a
+       HANDFUL of one-step pixels: the jittered sample directions are
+       computed at the packed width in one program and at full width in
+       the other, and XLA's batch-shape-dependent fusion can round the
+       last ulp of that elementwise chain differently, flipping a
+       grazing sample's hit (measured: 6-9 px off by one u8 step on CPU,
+       hdr diffs <= 0.019 at those pixels; BIT-EXACT on TPU —
+       tools/check_config4_wobble.py). Same accepted wobble class as
+       test_parallel.py::test_sharded_frame_matches_single;
+    2. a tiny soft_residue_cap (64) fires the extra-wave path at EVERY
+       bounce — same count-bounded contract against the masked base.
+    """
+    from vvr_tpu.render.renderer import Renderer
+    from vvr_tpu.render.scene import build_scene
+    from vvr_tpu.world.svt import density_from_occupancy
+
+    wcfg = WorldConfig(depth=3)
+    _, _, occ = small_world
+    dens = density_from_occupancy(occ)
+    cam = Camera.look_at([32.0, 45.0, 6.0], [32.0, 10.0, 40.0], fov=85.0)
+    base = dict(width=96, height=64, shadow_samples=4, max_ray_iterations=3,
+                skybox_resolution=32, clouds_resolution=32,
+                ambient_occlusion=True, traversal="jump")
+    scene = build_scene(wcfg, with_density=False)
+    r_mask = Renderer(wcfg, RenderConfig(**base, sun_mask="auto"),
+                      scene=scene)
+    r_dda = Renderer(wcfg, RenderConfig(**base, sun_mask="off"),
+                     scene=scene)
+    assert r_mask.use_sunmask and not r_dda.use_sunmask
+    grid = scene.ensure_jumpgrid()
+    o, d = camera_rays(cam, 96, 64)
+    sun = jnp.asarray(r_mask.sun)
+    sunmask = r_mask._sunmask()
+    kw = dict(svt_density=dens, mirror_materials=True)
+    img_m, _ = render_frame(grid, o, d, sun, jnp.float32(0.0),
+                            r_mask.cfg, sunmask=sunmask, **kw)
+    img_d, _ = render_frame(grid, o, d, sun, jnp.float32(0.0),
+                            r_dda.cfg, **kw)
+
+    def assert_wobble_only(a, b):
+        diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+        assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+        bad = int((diff > 0).any(-1).sum())
+        assert bad <= 32, f"{bad} pixels differ (wobble is a handful)"
+
+    assert_wobble_only(img_m, img_d)
+    img_of, _ = render_frame(grid, o, d, sun, jnp.float32(0.0),
+                             r_mask.cfg, sunmask=sunmask,
+                             soft_residue_cap=64, **kw)
+    assert_wobble_only(img_of, img_m)
+
+
+@pytest.mark.full
 def test_ambient_occlusion_darkens(small_world, pyr):
     from vvr_tpu.world.svt import density_from_occupancy
     _, _, occ = small_world

@@ -319,11 +319,58 @@ def test_soft_shadow_residue_overflow_net(small_world):
 
 
 @pytest.mark.full
+def _surface_points(occ, s, rng, count):
+    """Random points ON sun-facing exposed faces (normal.s > 0) — the
+    gate's contract population: every real shadow query is a hit point,
+    which lies on an exposed face (soft_shadow_gate docstring)."""
+    size = occ.shape[0]
+    pts = []
+    pad = np.zeros_like(occ[:, :, :1])
+    # occ is [z, y, x]; for each axis/sign collect exposed faces
+    specs = [
+        # (axis_vec(normal), plane offset, empty-neighbour slice builder)
+        (np.array([1., 0, 0]), lambda z, y, x: (x + 1., y, z),
+         np.concatenate([occ[:, :, 1:], pad], 2)),
+        (np.array([-1., 0, 0]), lambda z, y, x: (x + 0., y, z),
+         np.concatenate([pad, occ[:, :, :-1]], 2)),
+        (np.array([0, 1., 0]), lambda z, y, x: (x, y + 1., z),
+         np.concatenate([occ[:, 1:, :], pad.transpose(0, 2, 1)], 1)),
+        (np.array([0, -1., 0]), lambda z, y, x: (x, y + 0., z),
+         np.concatenate([pad.transpose(0, 2, 1), occ[:, :-1, :]], 1)),
+        (np.array([0, 0, 1.]), lambda z, y, x: (x, y, z + 1.),
+         np.concatenate([occ[1:, :, :], pad.transpose(2, 1, 0)], 0)),
+        (np.array([0, 0, -1.]), lambda z, y, x: (x, y, z + 0.),
+         np.concatenate([pad.transpose(2, 1, 0), occ[:-1, :, :]], 0)),
+    ]
+    for normal, plane, nb in specs:
+        if float(normal @ s) <= 0.0:
+            continue  # only sun-facing faces host shadow queries
+        z, y, x = np.nonzero(occ & ~nb)
+        if len(z) == 0:
+            continue
+        take = rng.choice(len(z), size=min(count, len(z)), replace=False)
+        z, y, x = z[take], y[take], x[take]
+        u = rng.uniform(0.05, 0.95, len(z))
+        v = rng.uniform(0.05, 0.95, len(z))
+        px, py, pz = plane(z.astype(np.float64), y.astype(np.float64),
+                           x.astype(np.float64))
+        if normal[0]:
+            py, pz = py + u, pz + v
+        elif normal[1]:
+            px, pz = px + u, pz + v
+        else:
+            px, py = px + u, py + v
+        pts.append(np.stack([px, py, pz], -1).astype(np.float32))
+    return np.concatenate(pts, 0)
+
+
 def test_cone_gate_agrees_with_per_sample_oracle(small_world):
     """Cone-grid certainty must agree with EVERY jittered direction's
-    exact trace (the shared-classification soundness claim)."""
-    from vvr_tpu.ops.sunshadow import (CONE_TAN, SOFT_FWD,
-                                       soft_shadow_gate)
+    exact trace (the shared-classification soundness claim), over the
+    gate's contract population: points ON sun-facing exposed faces (all
+    real shadow queries are hit points; pixelated_shadows bypasses the
+    classifier entirely — renderer.use_sunmask)."""
+    from vvr_tpu.ops.sunshadow import CONE_TAN, soft_shadow_gate
     from vvr_tpu.utils.hash import hash33
     _, _, occ = small_world
     size = occ.shape[0]
@@ -334,16 +381,66 @@ def test_cone_gate_agrees_with_per_sample_oracle(small_world):
                                 cone_tan=CONE_TAN)
     assert bool(ok)
     rng = np.random.default_rng(31)
-    pts = rng.uniform(0.5, size - 0.5, (9000, 3)).astype(np.float32)
-    cell = np.clip(np.floor(pts).astype(np.int64), 0, size - 1)
-    pts = pts[~occ[cell[:, 2], cell[:, 1], cell[:, 0]]][:6000]
-    n = len(pts)
-    act = jnp.ones((n,), bool)
-    kh, km = soft_shadow_gate(jnp.asarray(pts), jnp.asarray(sun),
-                              jnp.asarray(e1), jnp.asarray(e2), grids,
-                              act, size)
-    kh = np.asarray(kh)
-    km = np.asarray(km)
+    base = _surface_points(occ, s, rng, 1500)
+    for pts in (base,):
+        n = len(pts)
+        act = jnp.ones((n,), bool)
+        kh, km = soft_shadow_gate(jnp.asarray(pts), jnp.asarray(sun),
+                                  jnp.asarray(e1), jnp.asarray(e2), grids,
+                                  act, size)
+        kh = np.asarray(kh)
+        km = np.asarray(km)
+        assert kh.any(), "cone gate never certain-shadow on terrain " \
+            "(the round-4 S-support erosion regressed to kh=0)"
+        assert km.any()
+        for samp in range(4):
+            r = np.asarray(hash33(jnp.asarray(pts) * 23.12123545
+                                  + samp * 30.43324)) * 2.0 - 1.0
+            sd = sun[None, :] + r * 0.005
+            sd = (sd / np.linalg.norm(sd, axis=1, keepdims=True)).astype(
+                np.float32)
+            s_o = (pts + sun[None, :] * 0.004 + sd * 0.05).astype(
+                np.float32)
+            hit = trace_dense(occ, s_o, sd, max_steps=100000)["hit"]
+            assert not (kh & ~hit).any(), \
+                "cone certain-shadow on a lit sample"
+            assert not (km & hit).any(), \
+                "cone certain-light on a hit sample"
+
+
+@pytest.mark.full
+def test_near_walk_classify_agrees_with_oracle(small_world):
+    """The soft wave's sample-ray prefilter (near K-crossing walk + lift
+    against the surface texel's cone gridC — ops/sunshadow.py
+    near_walk_classify): walk-hit must imply the exact trace hits, and
+    lift/exit-miss must imply it misses, for every jittered sample ray
+    from real surface queries."""
+    import math
+    from vvr_tpu.ops.sunshadow import CONE_TAN, near_walk_classify
+    from vvr_tpu.utils.hash import hash33
+    from vvr_tpu.world.jumpgrid import build_jump_grid
+    _, _, occ = small_world
+    size = occ.shape[0]
+    jg = build_jump_grid(occ)
+    sun = SUNS[0]
+    e1, e2, s = sun_basis(sun)
+    grids, ok = build_sun_grids(_faces_dev(occ), jnp.asarray(e1),
+                                jnp.asarray(e2), jnp.asarray(s), size,
+                                cone_tan=CONE_TAN)
+    assert bool(ok)
+    gBC, _, a0, b0, ts = grids
+    gres = int(math.isqrt(gBC.shape[0]))
+    rng = np.random.default_rng(77)
+    pts = _surface_points(occ, s, rng, 1500)
+    qa = pts @ e1
+    qb = pts @ e2
+    gi = np.clip(np.floor((qa - float(a0)) / float(ts)), 0,
+                 gres - 1).astype(np.int64)
+    gj = np.clip(np.floor((qb - float(b0)) / float(ts)), 0,
+                 gres - 1).astype(np.int64)
+    rowC = np.asarray(gBC)[gj * gres + gi, 1]
+    hits_any = False
+    miss_any = False
     for samp in range(4):
         r = np.asarray(hash33(jnp.asarray(pts) * 23.12123545
                               + samp * 30.43324)) * 2.0 - 1.0
@@ -351,6 +448,14 @@ def test_cone_gate_agrees_with_per_sample_oracle(small_world):
         sd = (sd / np.linalg.norm(sd, axis=1, keepdims=True)).astype(
             np.float32)
         s_o = (pts + sun[None, :] * 0.004 + sd * 0.05).astype(np.float32)
+        kh2, km2 = near_walk_classify(
+            jg, jnp.asarray(s_o), jnp.asarray(sd), jnp.asarray(rowC),
+            tuple(jnp.float32(c) for c in sun), size)
+        kh2 = np.asarray(kh2)
+        km2 = np.asarray(km2)
         hit = trace_dense(occ, s_o, sd, max_steps=100000)["hit"]
-        assert not (kh & ~hit).any(), "cone certain-shadow on a lit sample"
-        assert not (km & hit).any(), "cone certain-light on a hit sample"
+        assert not (kh2 & ~hit).any(), "walk-hit on a lit sample"
+        assert not (km2 & hit).any(), "lift/exit-miss on a hit sample"
+        hits_any |= bool(kh2.any())
+        miss_any |= bool(km2.any())
+    assert hits_any and miss_any, "prefilter never fired — dead code"

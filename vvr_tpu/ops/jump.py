@@ -54,6 +54,28 @@ PHASE1_GROUPS = 6    # groups before the first straggler compaction
 SHADOW_PHASE1 = 3
 SHADOW_CASCADE = ((1, 6, 1), (1, 40, 3), (1, 200, 0))
 
+# Batched RESIDUE populations (the soft-shadow cone residue the frame
+# front-packs and traces S samples at once) are all silhouette lanes.
+# Measured survivor curve at the config-4 bench camera
+# (tools/measure_residue_curve.py, v5e, 1.62M batched sample rays):
+# 18 substeps -> 5.1%, 24 -> 2.4%, 30 -> 1.45%, 48 -> 0.09%; p99 = 34
+# substeps, max = 90 (NO heavy tail — the cone gate's certain-light
+# side already removes the world-length grazing marches). Caps below
+# keep >=4x headroom over that curve; the round-4 profile showed
+# jp_net_w1036800 executing ~392 ms under SHADOW_CASCADE.
+RESIDUE_PHASE1 = 3
+RESIDUE_CASCADE = ((1, 4, 2), (1, 16, 3), (1, 64, 0))
+
+# After the near-walk + lift prefilter (ops/sunshadow.py
+# near_walk_classify) only 7.5% of the batched sample lanes still run
+# the DDA (walk-hit 11.5%, lift/exit-miss 81.0% — same bench camera),
+# so the DDA packs IMMEDIATELY (phase1 0: a full-width group costs
+# ~39 ms at 1M lanes and resolves almost nothing of this population —
+# its g=1 survivor fraction is 98.8%). Residual curve (fractions of
+# batch width): 24 substeps -> 1.49%, 42 -> 0.27%.
+RESIDUE_PREF_PHASE1 = 0
+RESIDUE_PREF_CASCADE = ((1, 6, 4), (1, 32, 3), (1, 128, 0))
+
 
 # the brick occupancy decode lives in world/occupancy.py (single source
 # of truth for bit layouts — VERDICT r2 weak #7)

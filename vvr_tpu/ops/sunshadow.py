@@ -97,6 +97,15 @@ CONE_TAN = 0.0087   # max angular deviation of the frame's jittered soft-
                     # shadow directions: |rng|*0.005 <= 0.005*sqrt(3)
                     # (render/frame.py), tan ~ angle at this size
 
+# cone-grid query-support slack (see the S-support block in
+# build_sun_grids): real queries lie exactly ON a face (hit
+# reconstruction pins the face-axis coordinate to the plane), so these
+# are pure safety headroom for float rounding in the projections
+# (pixelated_shadows, whose quarter-floor can bury the query, bypasses
+# the classifier entirely — renderer.use_sunmask)
+S_PAD = 0.5      # lateral: S-pass face bboxes grow by this
+S_SLACK = 0.5    # depth: queries may sit this far below their column's S
+
 
 @functools.partial(jax.jit, static_argnames=("size", "grid", "cap_entries",
                                              "cone_tan"))
@@ -110,12 +119,13 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     cap (renderer._sunmask retries) or disable the classifier.
 
     cone_tan > 0 builds CONE grids for the soft-shadow pass: every margin
-    grows by cone_tan * (face z - world min z) — an upper bound of the
-    lateral deviation any jittered direction accumulates by the time it
-    reaches that face — so a certain answer holds for EVERY direction in
-    the cone at once (the N jittered samples share one classification;
-    only the ambiguous residue runs N per-sample DDAs —
-    raytracer.slang:332-342 semantics unchanged)."""
+    grows by cone_tan * (face z - S[texel] + slack), where S is a coarse
+    per-column lower bound of SURFACE depth (every query stands on a
+    surface) — an upper bound of the lateral deviation any jittered
+    direction accumulates between its start and that face — so a certain
+    answer holds for EVERY direction in the cone at once (the N jittered
+    samples share one classification; only the ambiguous residue runs N
+    per-sample DDAs — raytracer.slang:332-342 semantics unchanged)."""
     vx, vy, vz, axis, sgn, eu, ev = faces[:7]
     einfo = (faces[7] if len(faces) > 7
              else jnp.zeros_like(vx))
@@ -167,9 +177,15 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     bmax = jnp.max(cb, -1)
 
     # per-face margin: SAFE plus (cone grids) the cone's lateral reach at
-    # this face's depth above the lowest possible query
+    # this face's depth above the lowest possible query. The face-level
+    # bound (query no lower than the WORLD min depth) is used for the
+    # entry bbox and degenerate faces only — the rasterization loop
+    # tightens it per texel from the S support grid below (round-4: the
+    # world-min bound eroded 5-16 texels at 256^3 and the cone gate's
+    # certain-shadow side never fired — measured kh = 0,
+    # tools/measure_config4_demand.py)
     wzmin = jnp.min(corners @ s)
-    grow = SAFE + cone_tan * jnp.maximum(zmax - wzmin, 0.0)
+    grow = SAFE + cone_tan * jnp.maximum(zmax - wzmin + S_SLACK, 0.0)
 
     # outer texel bbox (grown by the face margin)
     oi0 = jnp.clip(jnp.floor((amin - grow - a0) / ts).astype(I32),
@@ -193,8 +209,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     # world-distance margin as barycentric margins: the u-isolines are
     # det/|v_edge| apart in the projection plane (and symmetrically for v)
     adet = jnp.maximum(jnp.abs(det), 1e-12)
-    mu = grow * jnp.sqrt(va * va + vb * vb) / adet
-    mv = grow * jnp.sqrt(ua * ua + ub * ub) / adet
+    rmu = jnp.sqrt(va * va + vb * vb) / adet   # world-dist -> bary u
+    rmv = jnp.sqrt(ua * ua + ub * ub) / adet   # world-dist -> bary v
+    mu = grow * rmu
+    mv = grow * rmv
     # affine depth over the projection plane: z(a, b) = z0 + ga*(a - p0a)
     # + gb*(b - p0b) — exact because the face is planar and the projection
     # along s is linear. Degenerate (edge-on to s) faces keep (ga, gb)=0
@@ -217,6 +235,82 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     # cut an ambiguity stripe through the shadow body (round-3 ledger).
     x_v0 = (einfo & 1).astype(F32) / evf
     x_v1 = ((einfo >> 1) & 1).astype(F32) / evf
+
+    # ---- cone grids: per-column query-depth support (round 4) ----
+    # The cone's lateral reach at a crossing is cone_tan * (crossing
+    # depth - QUERY depth), and every query stands on a surface — so a
+    # COARSE per-column lower bound S of surface depth (min affine depth
+    # over ALL faces — queries live on sun-facing faces too — with the
+    # bbox grown by the pixelated-shadows shift) turns the per-texel
+    # erosion into cone_tan * (face zmax - S[texel] + slack): the local
+    # height above the supporting terrain instead of the world depth
+    # range. Soundness: any query point lies ON a face of the set, whose
+    # (padded) bbox covers the query's coarse texel, and the affine
+    # corner min lower-bounds the face's depth there; S may only be too
+    # LOW (extra erosion), never too high.
+    gsum = jnp.abs(g_a) + jnp.abs(g_b)
+    Sgrid = None
+    s_ok = jnp.bool_(True)
+    cs = min(COARSE, grid)
+    bfc = grid // cs
+    if cone_tan > 0.0:
+        tsc = ts * bfc
+        si0 = jnp.clip(jnp.floor((amin - S_PAD - a0) / tsc).astype(I32),
+                       0, cs - 1)
+        si1 = jnp.clip(jnp.floor((amax + S_PAD - a0) / tsc).astype(I32),
+                       0, cs - 1)
+        sj0 = jnp.clip(jnp.floor((bmin - S_PAD - b0) / tsc).astype(I32),
+                       0, cs - 1)
+        sj1 = jnp.clip(jnp.floor((bmax + S_PAD - b0) / tsc).astype(I32),
+                       0, cs - 1)
+        stw = si1 - si0 + 1
+        scnt = (sj1 - sj0 + 1) * stw
+        soff = jnp.cumsum(scnt) - scnt
+        s_ok = jnp.max(soff + scnt).astype(I32) <= cap_entries
+        s_placed = soff + scnt <= cap_entries
+        s_total = jnp.max(jnp.where(s_placed, soff + scnt, 0)).astype(I32)
+        idx_sf = jnp.arange(f, dtype=I32)
+        s_starts = jnp.zeros((cap_entries,), I32).at[
+            jnp.where(s_placed & (scnt > 0), soff, cap_entries)].max(
+            idx_sf, mode="drop")
+        s_entf = jax.lax.cummax(s_starts)
+        stab = jnp.stack([si0, sj0, stw, soff], axis=1)
+        SCH = min(cap_entries, 1 << 17)
+
+        def s_body(c):
+            start, Sg = c
+            ek = start + jnp.arange(SCH, dtype=I32)
+            okk = ek < s_total
+            fidx = jnp.where(okk, jax.lax.dynamic_slice(
+                s_entf, (start,), (SCH,)), 0)
+            row = jnp.take(stab, fidx, axis=0, mode="clip")
+            li = ek - row[:, 3]
+            tw_ = jnp.maximum(row[:, 2], 1)
+            ci = row[:, 0] + li % tw_
+            cj = row[:, 1] + li // tw_
+            ins_ = okk & (ci < cs) & (cj < cs)
+            ta = a0 + ci.astype(F32) * tsc
+            tb = b0 + cj.astype(F32) * tsc
+            zmn = jnp.full(ci.shape, jnp.float32(3e38))
+            for da_ in (0.0, 1.0):
+                for db_ in (0.0, 1.0):
+                    da = (ta + da_ * tsc) - p0a[fidx]
+                    db = (tb + db_ * tsc) - p0b[fidx]
+                    zc = z00[fidx] + da * g_a[fidx] + db * g_b[fidx]
+                    zmn = jnp.minimum(zmn, zc)
+            # clamp to the face's global min: outside the quad the affine
+            # extrapolation undershoots (a LOWER S stays conservative but
+            # needlessly erodes); edge-on faces use the global min
+            zv = jnp.where(degenerate[fidx], zmin[fidx],
+                           jnp.maximum(zmn, zmin[fidx]))
+            Sg = Sg.at[jnp.where(ins_, cj * cs + ci, cs * cs + 2)].min(
+                zv, mode="drop")
+            return start + SCH, Sg
+
+        _, Sgrid = jax.lax.while_loop(
+            lambda c: c[0] < s_total, s_body,
+            (jnp.int32(0), jnp.full((cs * cs + 2,), jnp.float32(3e38),
+                                    F32)))
 
     # ---- tile-entry allocation over the OUTER bbox (occluders only) ----
     tw = (oi1 - oi0) // TK + 1
@@ -264,13 +358,28 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         f_va = va[fidx][:, None]
         f_vb = vb[fidx][:, None]
         f_inv = inv_det[fidx][:, None]
-        f_mu = mu[fidx][:, None]
-        f_mv = mv[fidx][:, None]
         f_z0 = z00[fidx][:, None]
         f_ga = g_a[fidx][:, None]
         f_gb = g_b[fidx][:, None]
-        f_gm = g_m[fidx][:, None]
-        f_gbm = g_bm[fidx][:, None]
+        if cone_tan <= 0.0:
+            f_mu = mu[fidx][:, None]
+            f_mv = mv[fidx][:, None]
+            f_gm = g_m[fidx][:, None]
+            f_gbm = g_bm[fidx][:, None]
+        else:
+            # per-texel erosion from the S support grid: the cone reach
+            # this texel's queries can accumulate by the face's depth.
+            # grow_t <= the face-level grow (S >= world min), so the
+            # entry bbox above still covers every marked texel.
+            sci = jnp.minimum(i // bfc, cs - 1)
+            scj = jnp.minimum(j // bfc, cs - 1)
+            S_t = jnp.take(Sgrid, scj * cs + sci, mode="clip")
+            grow_t = SAFE + cone_tan * jnp.maximum(
+                fzmax - (S_t - S_SLACK), 0.0)
+            f_mu = grow_t * rmu[fidx][:, None]
+            f_mv = grow_t * rmv[fidx][:, None]
+            f_gm = grow_t * gsum[fidx][:, None]
+            f_gbm = (grow_t - SAFE) * gsum[fidx][:, None]
         f_xv0 = x_v0[fidx][:, None]
         f_xv1 = x_v1[fidx][:, None]
         ta0 = a0 + i.astype(F32) * ts
@@ -278,6 +387,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         fully = ins & ~f_deg
         zc_min = jnp.full(ins.shape, jnp.float32(3e38))
         zc_max = jnp.full(ins.shape, NEG)
+        uu_min = jnp.full(ins.shape, jnp.float32(3e38))
+        uu_max = jnp.full(ins.shape, jnp.float32(-3e38))
+        vv_min = jnp.full(ins.shape, jnp.float32(3e38))
+        vv_max = jnp.full(ins.shape, jnp.float32(-3e38))
         # 4 texel corners: the fully-inside test (SAFE-shrunk barycentric
         # margins, extended across internal v edges) and the affine depth
         # extrema in one pass
@@ -289,6 +402,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
                 vv = (f_ua * db - f_ub * da) * f_inv
                 fully = fully & (uu > f_mu) & (uu < 1.0 - f_mu) \
                     & (vv > f_mv - f_xv0) & (vv < 1.0 - f_mv + f_xv1)
+                uu_min = jnp.minimum(uu_min, uu)
+                uu_max = jnp.maximum(uu_max, uu)
+                vv_min = jnp.minimum(vv_min, vv)
+                vv_max = jnp.maximum(vv_max, vv)
                 zc = f_z0 + da * f_ga + db * f_gb
                 zc_min = jnp.minimum(zc_min, zc)
                 zc_max = jnp.maximum(zc_max, zc)
@@ -297,7 +414,18 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
         # faces use the global range
         zCv = jnp.where(f_deg, fzmax,
                         jnp.minimum(fzmax, zc_max + f_gm))
-        gC = gC.at[jnp.where(ins, tex, grid * grid + 2).reshape(-1)].max(
+        poss = ins
+        if cone_tan > 0.0:
+            # cone grids tighten possibly-touching from the bbox (grown
+            # by the face-level WORST reach) to the quad grown by THIS
+            # texel's reach: barycentric interval overlap is a superset
+            # of quad-dilated-by-grow_t (isoline margins), so it stays
+            # conservative while dropping out-of-reach texels whose
+            # queries the cone can never deviate onto the face
+            poss = ins & (f_deg
+                          | ((uu_max > -f_mu) & (uu_min < 1.0 + f_mu)
+                             & (vv_max > -f_mv) & (vv_min < 1.0 + f_mv)))
+        gC = gC.at[jnp.where(poss, tex, grid * grid + 2).reshape(-1)].max(
             jnp.broadcast_to(zCv, ins.shape).reshape(-1), mode="drop")
         # gridB: texel FULLY inside the shrunk quad -> affine min over the
         # texel (exact: affine extrema sit at region corners, and `fully`
@@ -322,7 +450,7 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     cB = gridB[:grid * grid].reshape(co, bf, co, bf).min((1, 3))
     cC = gridC[:grid * grid].reshape(co, bf, co, bf).max((1, 3))
     cBC = jnp.stack([cB.reshape(-1), cC.reshape(-1)], axis=1)
-    return (gBC, cBC, a0, b0, ts), ok
+    return (gBC, cBC, a0, b0, ts), ok & s_ok
 
 
 def _certain(qz, rowB, rowC, inb, back):
@@ -346,6 +474,10 @@ def _near_segment(grid, p_o, sun3, K: int = NEAR_K):
     texel equals the query's: moving along s leaves (a, b) unchanged,
     only the depth grows by t_end).
 
+    `sun3` is either a length-3 vector (one direction for every lane) or
+    a 3-tuple of per-lane (N,) channels (the soft path's jittered sample
+    directions) — every stepping formula is elementwise either way.
+
     Why this exists: ambiguous lanes are silhouette texels — their answer
     is usually LOCAL (the step wall right next to the surface). Hits
     resolve here in 1-3 cells; misses lift the query's depth above the
@@ -356,7 +488,8 @@ def _near_segment(grid, p_o, sun3, K: int = NEAR_K):
     (same floats => same cell sequence as the exact tracer)."""
     size, g, rows = grid.size, grid.gsize, grid.rows
     ox, oy, oz = p_o[:, 0], p_o[:, 1], p_o[:, 2]
-    dx, dy, dz = sun3[0], sun3[1], sun3[2]
+    dx, dy, dz = (sun3 if isinstance(sun3, tuple)
+                  else (sun3[0], sun3[1], sun3[2]))
     big = jnp.float32(3e38)
     ix_ = jnp.where(dx == 0.0, big, 1.0 / dx)
     iy_ = jnp.where(dy == 0.0, big, 1.0 / dy)
@@ -410,6 +543,43 @@ def _near_segment(grid, p_o, sun3, K: int = NEAR_K):
         # t_end stays at the entry of the last TESTED-empty cell; the next
         # cell is untested until the following iteration's solid check
     return hit, exited, t_end
+
+
+def near_walk_classify(accel, p_o, p_d, rowC, sun3, size: int):
+    """Hit/miss prefilter for batched soft-shadow SAMPLE rays (the cone
+    residue's S jittered rays, already packed): exact K-crossing walk,
+    then lifted re-classification against the SURFACE texel's cone
+    gridC row.
+
+    Returns (known_hit, known_miss) — lanes in neither run the DDA.
+
+    Soundness of the lift: the sample ray is a member of the cone from
+    its surface query, so every face crossing it can ever make is
+    registered in the surface texel's cone gridC (the cone-margin
+    invariant the gate's certain-light side relies on), and its sun
+    depth is MONOTONE along the ray (d.s > 0). Once the walk lifts the
+    ray's depth above rowC + SAFE, every remaining crossing would sit
+    above every registered one — there is none, so the ray is lit.
+    `rowC` must be the CONE grid's C at the sample's SURFACE texel
+    (+3e38 where the surface projects out of the grid: no claim).
+    Out-of-world starts are certainly-miss (trace_jump's origin-outside
+    rule — the walk's clamped start voxel would otherwise test garbage).
+
+    Exactness: hit lanes are binary-equal to the full DDA (same float
+    stepping); miss lanes are certain by the walk's world exit or the
+    lift argument — tests/test_sunshadow.py checks all three against
+    the dense oracle."""
+    ox, oy, oz = p_o[:, 0], p_o[:, 1], p_o[:, 2]
+    dx, dy, dz = p_d[:, 0], p_d[:, 1], p_d[:, 2]
+    inw = ((ox >= 0) & (ox < size) & (oy >= 0) & (oy < size)
+           & (oz >= 0) & (oz < size))
+    nh, nexit, t_end = _near_segment(accel, p_o, (dx, dy, dz))
+    qz_lift = (ox * sun3[0] + oy * sun3[1] + oz * sun3[2]
+               + t_end * (dx * sun3[0] + dy * sun3[1] + dz * sun3[2]))
+    known_hit = inw & nh
+    known_miss = ~inw | (inw & ~nh
+                         & (nexit | (qz_lift > rowC + SAFE)))
+    return known_hit, known_miss
 
 
 def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
@@ -535,7 +705,17 @@ def soft_shadow_gate(s_base, sun3, e1, e2, grids, shadow_active,
     means none does. The residue (neither mask) runs the per-sample DDAs.
     `s_base` is the SURFACE point (shadow_start) — sample starts sit at
     most `fwd` ahead of it along s, and a crossing that buries a start
-    registers in gridC above the surface depth, blocking certain-light."""
+    registers in gridC above the surface depth, blocking certain-light.
+
+    Contract: s_base must be SURFACE-SUPPORTED — on an exposed face of
+    the world the grids were built from (within S_PAD/S_SLACK slack).
+    The cone margins assume the query's sun depth is no lower than its
+    column's S support (build_sun_grids round-4 erosion); every real
+    shadow query is a DDA/raster hit point, which lies on a face
+    (pixelated_shadows, whose quarter-floor breaks this, bypasses the
+    classifier — renderer.use_sunmask). A free-floating point may be
+    classified UNSOUNDLY — callers must not gate arbitrary points
+    (tests/test_sunshadow.py samples real surface points)."""
     gBC, cBC, a0, b0, ts = grids
     if isinstance(s_base, tuple):
         sbx, sby, sbz = s_base

@@ -52,22 +52,37 @@ def make_tracer(accel, cfg: RenderConfig):
         steps = cfg.traversal_max_steps * 8
 
         def tr(o, d, active=None, pack_first=None, with_stats=False,
-               shadow=False):
+               shadow=False, hard=False):
             # sun-aligned shadow batches resolve on a steep survivor curve;
             # the shadow-tuned compaction schedule is ~1.7x faster there
-            # (and ~1.4x SLOWER for primaries — keep them separate)
+            # (and ~1.4x SLOWER for primaries — keep them separate).
+            # `hard` marks pre-packed all-hard populations (the soft cone
+            # RESIDUE): their survivor curve sits far above the full-width
+            # shadow schedule's caps. hard="pref" = prefiltered by the
+            # near-walk (only ~7.5% of lanes active -> pack immediately);
+            # hard=True = raw residue (ops/jump.py RESIDUE_* constants)
+            from vvr_tpu.ops.jump import (RESIDUE_CASCADE, RESIDUE_PHASE1,
+                                          RESIDUE_PREF_CASCADE,
+                                          RESIDUE_PREF_PHASE1)
+            if shadow and hard == "pref":
+                ph, ca = RESIDUE_PREF_PHASE1, RESIDUE_PREF_CASCADE
+            elif shadow and hard:
+                ph, ca = RESIDUE_PHASE1, RESIDUE_CASCADE
+            elif shadow:
+                ph, ca = SHADOW_PHASE1, SHADOW_CASCADE
+            else:
+                ph, ca = 6, None
             return trace_jump(
                 accel, o, d, max_steps=steps, active=active,
                 pack_first=pack_first, with_stats=with_stats,
-                phase1_groups=SHADOW_PHASE1 if shadow else 6,
-                cascade=SHADOW_CASCADE if shadow else None)
+                phase1_groups=ph, cascade=ca)
         return tr
 
     if isinstance(accel, JumpGrid2):
         steps = cfg.traversal_max_steps * 8
 
         def tr2(o, d, active=None, pack_first=None, with_stats=False,
-                shadow=False):
+                shadow=False, hard=False):
             from vvr_tpu.ops.jump2 import trace_jump2
             return trace_jump2(accel, o, d, max_steps=steps, active=active,
                                pack_first=pack_first, with_stats=with_stats)
@@ -80,18 +95,22 @@ def make_tracer(accel, cfg: RenderConfig):
         steps = cfg.traversal_max_steps * 8
 
         def trp(o, d, active=None, pack_first=None, with_stats=False,
-                shadow=False):
+                shadow=False, hard=False):
+            from vvr_tpu.ops.jump import RESIDUE_CASCADE, RESIDUE_PHASE1
             from vvr_tpu.ops.paged import (SHADOW_CASCADE, SHADOW_PHASE1,
                                            trace_paged)
+            ph = ((RESIDUE_PHASE1 if hard else SHADOW_PHASE1)
+                  if shadow else 6)
+            ca = ((RESIDUE_CASCADE if hard else SHADOW_CASCADE)
+                  if shadow else None)
             return trace_paged(
                 accel, o, d, max_steps=steps, active=active,
                 pack_first=pack_first, with_stats=with_stats,
-                phase1_groups=SHADOW_PHASE1 if shadow else 6,
-                cascade=SHADOW_CASCADE if shadow else None)
+                phase1_groups=ph, cascade=ca)
         return trp
 
     def tr(o, d, active=None, pack_first=None, with_stats=False,
-           shadow=False):
+           shadow=False, hard=False):
         return trace(accel, o, d, max_steps=cfg.traversal_max_steps,
                      active=active, pack_first=pack_first,
                      with_stats=with_stats, use_full=False)
@@ -109,10 +128,21 @@ def _trace_packed_sorted(tr, ox, oy, oz, dx, dy, dz, active, cap: int,
     SORTED by (direction octant, origin superbrick), so the packed DDA
     walks rays that share jump-grid rows and octant tables side by side
     instead of in scanline order. Bit-exact: traversal is per-ray
-    deterministic, so order only affects speed; lanes that overflow `cap`
-    run a full-width masked trace under lax.cond (zero cost unless it
-    fires). Returns a TraceResult at full width (stats zeroed — bounce
-    rays never feed the debug heatmaps)."""
+    deterministic, so order only affects speed.
+
+    Demand above `cap` runs FURTHER PACKED WAVES of the same shape under
+    a lax.while (each wave clears >= 1 lane, so it terminates) — the
+    round-4 profile caught the previous design's full-width overflow net
+    EXECUTING in the steady state (cond.44, 823 ms: bounce-2 mirror
+    continuations are 0.114n at the bench camera — mirror reflections
+    cluster onto mirror blocks, they do not decay geometrically — against
+    the old n/16 cap). A wave costs a cap-wide trace; the net cost a
+    2M-lane one. Also free: a bounce with ZERO active lanes now skips
+    tracing entirely (while cond false), where the old shape always paid
+    the packed trace's phase-1.
+
+    Returns a TraceResult at full width (stats zeroed — bounce rays never
+    feed the debug heatmaps)."""
     from vvr_tpu.ops.traverse import BIG_T, TraceResult
     n = ox.shape[0]
     g = max(size // 8, 1)
@@ -122,39 +152,43 @@ def _trace_packed_sorted(tr, ox, oy, oz, dx, dy, dz, active, cap: int,
     sb = sbx + sby * g + sbz * (g * g)
     octk = ((dx > 0).astype(I32) + 2 * (dy > 0).astype(I32)
             + 4 * (dz > 0).astype(I32))
-    key = jnp.where(active, octk * (g * g * g) + sb,
-                    jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)[:cap]
-    valid = active[order]
-    so = jnp.stack([ox[order], oy[order], oz[order]], -1)
-    sd = jnp.stack([dx[order], dy[order], dz[order]], -1)
-    sub = tr(so, sd, active=valid)
-
-    mark = jnp.zeros((n,), bool).at[order].set(valid, mode="drop")
-    overflow = active & ~mark
+    keys = octk * (g * g * g) + sb
     zero_i = jnp.zeros((n,), I32)
+    from vvr_tpu.ops.pack import pack_indices_grouped
 
-    def full(_):
-        return tr(jnp.stack([ox, oy, oz], -1), jnp.stack([dx, dy, dz], -1),
-                  active=overflow)
+    def body(c):
+        todo, hit, face, axc, t = c
+        # pack first (two-stage grouped, ~3x cheaper than a full-width
+        # nonzero/argsort at 2M lanes), THEN key-sort at cap width — the
+        # traced subset may differ from a global-argsort's when demand
+        # exceeds cap (scanline-first vs key-first), but traversal is
+        # per-ray deterministic so only wave membership shifts, never a
+        # result. Lanes the grouped pack drops stay in `todo`.
+        idx0, p_valid0 = pack_indices_grouped(todo, cap)
+        k2 = jnp.where(p_valid0, jnp.take(keys, jnp.minimum(idx0, n - 1),
+                                          mode="clip"),
+                       jnp.iinfo(jnp.int32).max)
+        sorder = jnp.argsort(k2)
+        order = jnp.minimum(idx0, n - 1)[sorder]
+        valid = p_valid0[sorder]
+        so = jnp.stack([ox[order], oy[order], oz[order]], -1)
+        sd = jnp.stack([dx[order], dy[order], dz[order]], -1)
+        sub = tr(so, sd, active=valid)
+        idx = jnp.where(valid, order, n)
+        hit = hit.at[idx].set(sub.hit, mode="drop")
+        face = face.at[idx].set(sub.face, mode="drop")
+        axc = axc.at[idx].set(sub.axis_coord, mode="drop")
+        t = t.at[idx].set(sub.t, mode="drop")
+        todo = todo & ~jnp.zeros((n,), bool).at[idx].set(True, mode="drop")
+        return todo, hit, face, axc, t
 
-    def none(_):
-        return TraceResult(hit=jnp.zeros((n,), bool), face=zero_i,
-                           axis_coord=zero_i, t=jnp.full((n,), F32(BIG_T)),
-                           iterations=zero_i, fetches=zero_i,
-                           missed_pops=zero_i)
-
-    rest = jax.lax.cond(jnp.any(overflow), full, none, None)
-
-    def scat(base, v, default):
-        return base.at[order].set(jnp.where(valid, v, default), mode="drop")
-
-    return TraceResult(
-        hit=scat(rest.hit, sub.hit, False),
-        face=scat(rest.face, sub.face, 0),
-        axis_coord=scat(rest.axis_coord, sub.axis_coord, 0),
-        t=scat(rest.t, sub.t, F32(BIG_T)),
-        iterations=zero_i, fetches=zero_i, missed_pops=zero_i)
+    init = (active, jnp.zeros((n,), bool), zero_i, zero_i,
+            jnp.full((n,), F32(BIG_T)))
+    _, hit, face, axc, t = jax.lax.while_loop(
+        lambda c: jnp.any(c[0]), body, init)
+    return TraceResult(hit=hit, face=face, axis_coord=axc, t=t,
+                       iterations=zero_i, fetches=zero_i,
+                       missed_pops=zero_i)
 
 
 def heatmap(x):
@@ -169,7 +203,9 @@ def heatmap(x):
 def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                   svt_density=None, mirror_materials: bool = False,
                   lights=None, overlap_pyr=None, raster=None, sunmask=None,
-                  band=None, soft_residue_cap: int | None = None):
+                  band=None, soft_residue_cap: int | None = None,
+                  raster_cap: int | None = None,
+                  collect_demand: bool = False):
     """The megakernel as a wavefront (rays flat (N,3)). `pyr` is either
     acceleration structure (BrickPyramid or JumpGrid — make_tracer
     dispatches); `overlap_pyr` supplies the BrickPyramid the overlap-AO
@@ -214,28 +250,47 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
 
     need_stats = cfg.debug_type in (DEBUG_ITERATIONS, DEBUG_BUFFER_FETCHES,
                                     DEBUG_EXIT_TYPE)
+    demand = {}  # collect_demand: per-bounce lane counts (cap sizing —
+                 # tools/measure_config4_demand.py; a fired overflow net
+                 # costs a full-width trace, ~0.8-1.1 s at 2M lanes)
+
+    def _dem(key, mask):
+        if collect_demand:
+            demand[key] = jnp.sum(mask.astype(I32))
+
     for bounce in range(cfg.max_ray_iterations):
         if bounce == 0 and raster is not None:
             from vvr_tpu.ops.rastertrace import trace_raster
             faces, rcam, probe = raster
             j0, band_h = band if band is not None else (0, None)
+            # adaptive entry capacity (renderer sizes it from the scene's
+            # face count): at 1024^3 the default 1<<20 overflowed and sent
+            # thousands of faces through the full-screen net, ~5.1 s of
+            # the 6.5 s config-5 frame (tools/profile_config5.py)
+            kw = {} if raster_cap is None else {"cap_entries": raster_cap}
             res = trace_raster(faces, rcam, d_aos, probe, size,
                                cfg.render_width, cfg.render_height,
-                               j0=j0, band_h=band_h)
+                               j0=j0, band_h=band_h, **kw)
         elif bounce == 0:
             res = tr(o, d_aos, active=active, with_stats=need_stats)
         elif n >= 4096:
             # mirror continuation rays are a sparse subset (hash-gated
             # blocks x hit lanes): pack + reorder them instead of paying a
-            # full-width masked DDA. Bounce 1 can reach ~15-20% of lanes
-            # (1/5 of 8^3 block groups are mirrors); deeper bounces decay
-            # geometrically — cap accordingly, overflow net keeps it exact
-            cap = max(n // 4, 2048) if bounce == 1 else max(n // 16, 2048)
+            # full-width masked DDA. Measured at the config-4 bench camera
+            # (tools/measure_config4_demand.py): bounce 1 = 0.173n,
+            # bounce 2 = 0.114n, bounce 3 = 0.043n — reflections cluster
+            # onto mirror blocks, so deep bounces do NOT decay
+            # geometrically; the old n/16 cap at bounce 2 fired the
+            # full-width net every frame (823 ms). Demand above cap runs
+            # extra cap-wide waves (exact at any demand)
+            cap = max(n // 4, 2048) if bounce == 1 else max(n // 8, 2048)
             res = _trace_packed_sorted(tr, ox, oy, oz, dx, dy, dz, active,
                                        cap, size)
         else:
             res = tr(jnp.stack([ox, oy, oz], -1), d_aos, active=active)
         hit = res.hit & active
+        _dem(f"b{bounce}_active", active)
+        _dem(f"b{bounce}_hit", hit)
         sgx = jnp.where(dx >= 0, F32(1.0), F32(-1.0))
         sgy = jnp.where(dy >= 0, F32(1.0), F32(-1.0))
         sgz = jnp.where(dz >= 0, F32(1.0), F32(-1.0))
@@ -335,10 +390,16 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
         # multiplies by max(n.l, 0), so n.l <= 0 lanes never need the trace
         sun_facing = (nx * sun3[0] + ny * sun3[1] + nz * sun3[2]) > 0.0
         shadow_active = shaded & sun_facing
+        _dem(f"b{bounce}_shadow_active", shadow_active)
         # front-pack them so misses/backfaces don't pay the traversal
         # gathers (cap 0.9n: terrain cameras reach ~80% hit fraction and a
-        # cap overflow sends the excess to the full-width safety net)
-        pack_cap = max((n * 9) // 10, 2048) if n >= 4096 else None
+        # cap overflow sends the excess to the full-width safety net).
+        # bounce>=1 surfaces are mirror-continuation hits — a sparse,
+        # geometrically-decaying subset — so every shadow-pass capacity
+        # shrinks with the bounce (overflow nets keep any cap exact)
+        bshrink = 1 if bounce == 0 else (4 if bounce == 1 else 16)
+        pack_cap = (max((n * 9) // (10 * bshrink), 2048)
+                    if n >= 4096 else None)
         if cfg.shadow_samples > 1:
             # cone classifier (ops/sunshadow.py soft_shadow_gate): ONE
             # classification answers all N jittered samples; only the
@@ -354,7 +415,11 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                                           sm_e2, sm_grids, shadow_active,
                                           size)
                 dda_active = shadow_active & ~kh & ~km
-                dda_cap = max(n // 4, 2048) if n >= 4096 else None
+                _dem(f"b{bounce}_soft_kh", kh)
+                _dem(f"b{bounce}_soft_km", km)
+                _dem(f"b{bounce}_soft_dda_residue", dda_active)
+                dda_cap = (max(n // (4 * bshrink), 2048)
+                           if n >= 4096 else None)
             def sample_dir(s, px, py, pz):
                 """Jittered sun direction + strength for sample `s` at
                 surface channels (px,py,pz) — raytracer.slang:332-342."""
@@ -385,49 +450,85 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 # the residue once and trace all S jittered samples in
                 # ONE call — S packs + S trace launches (each with its
                 # fixed phase1 cost over n/4 lanes) collapse into one
-                # nonzero + one launch over S*(n/8) tightly packed lanes
+                # nonzero + one launch over S*cap1 tightly packed lanes.
+                # Demand above cap1 runs FURTHER WAVES of the same shape
+                # (lax.while; each wave clears >= 1 lane). The previous
+                # full-width overflow net EXECUTED in the steady state —
+                # the measured bench-camera residue is 0.196n (post
+                # S-support erosion; was 0.278n before it —
+                # tools/measure_config4_demand.py) against the n/8 cap
+                # (2 waves), and the old net's S full-width masked traces
+                # cost 1101 ms of config 4's 4383 (round-4 profile cond.32)
                 cap1 = soft_residue_cap or max(n // 8, 4096)
+                if bounce:
+                    cap1 = max(cap1 // bshrink, 2048)
                 # two-stage grouped pack: ~3x cheaper than a full-width
                 # nonzero at 2M lanes (ops/pack.py; cone residue clusters
                 # on silhouettes like the hard-shadow ambiguity does)
                 from vvr_tpu.ops.pack import pack_indices_grouped
-                idx, p_valid = pack_indices_grouped(dda_active, cap1)
-                safe = jnp.minimum(idx, n - 1)
-                pxs, pys, pzs = ssx[safe], ssy[safe], ssz[safe]
-                mark = jnp.zeros((n,), bool).at[idx].set(p_valid,
-                                                         mode="drop")
-                overflow = dda_active & ~mark
-                bo, bd = [], []
-                for s in range(S):
-                    sdx, sdy, sdz, _ = sample_dir(s, pxs, pys, pzs)
-                    sox_, soy_, soz_ = ray_start(pxs, pys, pzs,
-                                                 sdx, sdy, sdz)
-                    bo.append(jnp.stack([sox_, soy_, soz_], -1))
-                    bd.append(jnp.stack([sdx, sdy, sdz], -1))
-                bhit = tr(jnp.concatenate(bo, 0), jnp.concatenate(bd, 0),
-                          active=jnp.tile(p_valid, S),
-                          shadow=True).hit.reshape(S, cap1)
 
-                # overflow net (cap exceeded): per-sample full-width
-                # masked traces under ONE cond — zero runtime unless the
-                # residue really exceeds n/8 (silhouette-heavy suns)
-                def of_traces(_):
-                    outs = []
+                # near-walk + lift prefilter (jump-grid scenes): most
+                # sample rays resolve LOCALLY (silhouette wall) or lift
+                # above the surface texel's cone gridC (certain light,
+                # depth is monotone along the ray) — only the remainder
+                # pays the DDA (ops/sunshadow.py near_walk_classify)
+                use_walk = isinstance(pyr, JumpGrid)
+
+                def wave(c):
+                    todo, acc = c
+                    idx, p_valid = pack_indices_grouped(todo, cap1)
+                    safe = jnp.minimum(idx, n - 1)
+                    pxs, pys, pzs = ssx[safe], ssy[safe], ssz[safe]
+                    bo, bd = [], []
                     for s in range(S):
-                        sdx, sdy, sdz, _ = sample_dir(s, ssx, ssy, ssz)
-                        sox_, soy_, soz_ = ray_start(ssx, ssy, ssz,
+                        sdx, sdy, sdz, _ = sample_dir(s, pxs, pys, pzs)
+                        sox_, soy_, soz_ = ray_start(pxs, pys, pzs,
                                                      sdx, sdy, sdz)
-                        outs.append(tr(
-                            jnp.stack([sox_, soy_, soz_], -1),
-                            jnp.stack([sdx, sdy, sdz], -1),
-                            active=overflow, shadow=True).hit)
-                    return jnp.stack(outs, 0)
+                        bo.append(jnp.stack([sox_, soy_, soz_], -1))
+                        bd.append(jnp.stack([sdx, sdy, sdz], -1))
+                    bo_cat = jnp.concatenate(bo, 0)
+                    bd_cat = jnp.concatenate(bd, 0)
+                    act = jnp.tile(p_valid, S)
+                    if use_walk:
+                        import math as _math
+                        from vvr_tpu.ops.sunshadow import \
+                            near_walk_classify
+                        gBCg, _, ga0, gb0, gts = sm_grids
+                        gres = int(_math.isqrt(gBCg.shape[0]))
+                        qa = (pxs * sm_e1[0] + pys * sm_e1[1]
+                              + pzs * sm_e1[2])
+                        qb = (pxs * sm_e2[0] + pys * sm_e2[1]
+                              + pzs * sm_e2[2])
+                        gi = jnp.floor((qa - ga0) / gts).astype(I32)
+                        gj = jnp.floor((qb - gb0) / gts).astype(I32)
+                        ginb = ((gi >= 0) & (gi < gres)
+                                & (gj >= 0) & (gj < gres))
+                        rowC = jnp.take(
+                            gBCg, jnp.where(ginb, gj * gres + gi, 0),
+                            axis=0, mode="clip")[:, 1]
+                        rowC = jnp.where(ginb, rowC, F32(3e38))
+                        kh2, km2 = near_walk_classify(
+                            pyr, bo_cat, bd_cat, jnp.tile(rowC, S),
+                            sun3, size)
+                        act_dda = act & ~kh2 & ~km2
+                        dda = tr(bo_cat, bd_cat, active=act_dda,
+                                 shadow=True, hard="pref").hit
+                        bhit = ((act & kh2)
+                                | (act_dda & dda)).reshape(S, cap1)
+                    else:
+                        bhit = tr(bo_cat, bd_cat, active=act,
+                                  shadow=True, hard=True).hit.reshape(
+                                      S, cap1)
+                    idxw = jnp.where(p_valid, idx, n)
+                    acc = acc.at[:, idxw].set(bhit, mode="drop")
+                    todo = todo & ~jnp.zeros((n,), bool).at[idxw].set(
+                        True, mode="drop")
+                    return todo, acc
 
-                rest = jax.lax.cond(jnp.any(overflow), of_traces,
-                                    lambda _: jnp.zeros((S, n), bool), None)
-                s_ddas = [
-                    rest[s].at[idx].set(bhit[s] & p_valid, mode="drop")
-                    for s in range(S)]
+                _, acc = jax.lax.while_loop(
+                    lambda c: jnp.any(c[0]), wave,
+                    (dda_active, jnp.zeros((S, n), bool)))
+                s_ddas = list(acc)
 
             shadow = zero_f
             for s in range(S):
@@ -456,7 +557,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
                 s_hit = masked_shadow_hits(
                     tr, s_o, sun3, sm_e1, sm_e2, sm_grids,
                     shadow_active, size,
-                    max(n // 10, 2048) if n >= 4096 else None,
+                    max(n // (10 * bshrink), 2048) if n >= 4096 else None,
                     accel=pyr if isinstance(pyr, JumpGrid) else None)
             else:
                 s_hit = tr(jnp.stack(s_o, -1),
@@ -552,6 +653,7 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
             col_r = jnp.where(mirror, col_r * alb_r, col_r)
             col_g = jnp.where(mirror, col_g * alb_g, col_g)
             col_b = jnp.where(mirror, col_b * alb_b, col_b)
+        _dem(f"b{bounce}_mirror", mirror)
         active = mirror
         if not mirror_materials:
             break  # no lane can continue; skip dead bounces entirely
@@ -559,6 +661,8 @@ def raytrace_pass(pyr, o, d, skybox, clouds_tex, sun, time, cfg: RenderConfig,
     out_r = jnp.where(active, F32(0.0), out_r)  # bounces exhausted
     out_g = jnp.where(active, F32(0.0), out_g)
     out_b = jnp.where(active, F32(0.0), out_b)
+    if collect_demand:
+        dbg["demand"] = demand
     return (out_r, out_g, out_b), alpha, dbg
 
 
@@ -581,11 +685,13 @@ def _debug_image(dbg, cfg: RenderConfig, h: int, w: int, size: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mirror_materials",
-                                             "soft_residue_cap"))
+                                             "soft_residue_cap",
+                                             "raster_cap"))
 def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                  svt_density=None, mirror_materials: bool = False,
                  lights=None, overlap_pyr=None, raster=None, sunmask=None,
-                 sky=None, soft_residue_cap: int | None = None):
+                 sky=None, soft_residue_cap: int | None = None,
+                 raster_cap: int | None = None):
     """Full frame: sky passes + raytrace + post. Rays must be the flattened
     (render_h * render_w) camera rays. `pyr` is either acceleration
     structure (see make_tracer); `raster` optionally supplies
@@ -605,7 +711,8 @@ def render_frame(pyr, o, d, sun, time, cfg: RenderConfig,
                                           sun, time, cfg, svt_density,
                                           mirror_materials, lights,
                                           overlap_pyr, raster, sunmask,
-                                          soft_residue_cap=soft_residue_cap)
+                                          soft_residue_cap=soft_residue_cap,
+                                          raster_cap=raster_cap)
     dbg_img = _debug_image(dbg, cfg, rh, rw, pyr.size)
     if dbg_img is not None:
         r, g, b = (dbg_img[..., 0].reshape(-1), dbg_img[..., 1].reshape(-1),

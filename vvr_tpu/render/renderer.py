@@ -85,9 +85,14 @@ class Renderer:
             self.scene.ensure_faces()
         # sun-space occlusion classifier: hard shadows use the exact
         # grids; soft shadows (N jittered samples) use CONE grids — one
-        # classification shared by all samples (ops/sunshadow.py)
+        # classification shared by all samples (ops/sunshadow.py).
+        # pixelated_shadows floors the query point to a 1/4 grid
+        # (raytracer.slang:328-330) which can bury it INSIDE solid, where
+        # the classifier's certain-light claim is unsound (its own
+        # contract) — that cosmetic knob rides the exact DDA path instead
         self.use_sunmask = (render_cfg.sun_mask != "off"
-                            and render_cfg.shadow_samples >= 1)
+                            and render_cfg.shadow_samples >= 1
+                            and not render_cfg.pixelated_shadows)
         self._sunmask_cache = None  # (sun_bytes, (e1, e2, grids))
         if self.use_sunmask:
             self.scene.ensure_faces()
@@ -97,6 +102,25 @@ class Renderer:
         self.snapshots = load_snapshots()
         sun = DEFAULT_SUN[:3] / np.linalg.norm(DEFAULT_SUN[:3])
         self.sun = np.concatenate([sun, [0.0]]).astype(np.float32)
+
+    def _raster_cap(self) -> int:
+        """Adaptive tile-entry capacity for the primary rasterizer
+        (ops/rastertrace.py trace_raster cap_entries, a static arg).
+
+        Entry demand scales with the scene's VISIBLE face count (each
+        on-screen face takes >=1 tile entry): at 1024^3 (763K faces) the
+        old fixed 1<<20 overflowed and pushed thousands of faces through
+        the full-screen safety net — measured ~5.1 s of config 5's 6.5 s
+        frame (tools/profile_config5.py). Sized from the face count so
+        the net only ever sees camera-plane straddlers; the per-chunk
+        raster loop's trip count tracks the DYNAMIC entry total, so a
+        roomy capacity costs only the allocation arrays, not loop work.
+        Flagship scenes (256^3, ~200K faces) keep the tuned 1<<20."""
+        f = int(self.scene.faces[0].shape[0])
+        cap = 1 << 20
+        while cap < 4 * f and cap < (1 << 24):
+            cap *= 2
+        return cap
 
     def camera_for_snapshot(self, index: int) -> Camera:
         snap = self.snapshots[index % len(self.snapshots)]
@@ -158,6 +182,7 @@ class Renderer:
             probe = jax.numpy.asarray(
                 self.scene.solid_at_host(camera.position))
             raster = (self.scene.faces, rcam, probe)
+        raster_cap = self._raster_cap() if raster is not None else None
         sunmask = self._sunmask() if self.use_sunmask else None
         sky = self._sky(t)
         t0 = _time.monotonic()
@@ -171,7 +196,8 @@ class Renderer:
             if self.cfg.point_lights else None,
             overlap_pyr=self.scene.ensure_pyramid() if needs_overlap
             else None,
-            raster=raster, sunmask=sunmask, sky=sky)
+            raster=raster, sunmask=sunmask, sky=sky,
+            raster_cap=raster_cap)
         return self._finish_frame(img, t0, timed, fetch, tainted=retried)
 
     def _sky(self, t: float):
