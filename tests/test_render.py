@@ -274,6 +274,16 @@ def test_config4_shaped_bounce_caps_exact(small_world, pyr):
                              r_mask.cfg, sunmask=sunmask,
                              soft_residue_cap=64, **kw)
     assert_wobble_only(img_of, img_m)
+    # the packed bounce wave (trace AND shading at the continuation cap)
+    # vs the full-width bounce loop (force_wide): the wave must not
+    # change the image beyond the same fusion-wobble class — the body is
+    # the same code at a different width, so any LOGIC slip (wrong
+    # scatter mask, lost continuation, stale channel) shows up as large
+    # diffs, not one-step wobble
+    img_w, _ = render_frame(grid, o, d, sun, jnp.float32(0.0),
+                            r_mask.cfg, sunmask=sunmask,
+                            force_wide=True, **kw)
+    assert_wobble_only(img_w, img_m)
 
 
 @pytest.mark.full
