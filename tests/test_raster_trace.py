@@ -155,6 +155,7 @@ def test_raster_merged_equals_unit_faces(small_world):
                                   np.asarray(ru.axis_coord))
 
 
+@pytest.mark.full   # A/B shape-invariance pin, minutes on CPU
 def test_raster_cap_entries_invariance(small_world):
     """cap_entries only moves faces between the tile-entry path and the
     full-screen safety net — winners must be bit-identical at ANY
@@ -244,6 +245,7 @@ def test_adversarial_near_tie_winners():
     assert ties > 0, "no cross-axis near-tie pixels (not adversarial)"
 
 
+@pytest.mark.full   # A/B shape-invariance pin, minutes on CPU
 def test_raster_tile_shapes_bit_identical(small_world):
     """The tile shape (tkx, tky) is a pure performance knob: u32
     scatter-min winners are order-free, so every shape must produce

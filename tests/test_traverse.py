@@ -21,6 +21,16 @@ def random_rays(rng, n, size, inside=True):
     return o.astype(np.float32), d.astype(np.float32)
 
 
+CORPUS_N = 3000   # one canonical ray-batch shape (see test_jump.py): all
+                  # smoke corpus tests share one jit specialization
+
+
+def pad_rays(o, d, n=CORPUS_N):
+    reps = -(-n // len(o))
+    return (np.tile(o, (reps, 1))[:n].astype(np.float32),
+            np.tile(d, (reps, 1))[:n].astype(np.float32))
+
+
 def assert_matches_oracle(occ, o, d, max_steps=4096):
     res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d),
                 max_steps=max_steps)
@@ -36,32 +46,36 @@ def assert_matches_oracle(occ, o, d, max_steps=4096):
 
 
 def test_single_voxel_hits():
-    occ = np.zeros((16, 16, 16), bool)
+    occ = np.zeros((64, 64, 64), bool)
     occ[8, 8, 8] = True  # voxel at x=8,y=8,z=8
     # ray straight down +x through the voxel center
     o = np.array([[0.5, 8.5, 8.5], [0.5, 8.5, 8.5], [8.5, 8.5, 8.5]], np.float32)
     d = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0]], np.float32)
+    o, d = pad_rays(o, d)
     res, _ = assert_matches_oracle(occ, o, d)
     hit = np.asarray(res.hit)
-    assert hit.tolist() == [True, False, True]
+    assert hit[:3].tolist() == [True, False, True]
     assert int(np.asarray(res.face)[0]) == 0
     assert int(np.asarray(res.axis_coord)[0]) == 8
 
 
 def test_ray_starting_inside_solid():
-    occ = np.ones((16, 16, 16), bool)
+    occ = np.ones((64, 64, 64), bool)
     o = np.array([[5.5, 5.5, 5.5]], np.float32)
     d = np.array([[1, 0, 0]], np.float32)
+    o, d = pad_rays(o, d)
     res, _ = assert_matches_oracle(occ, o, d)
     assert bool(np.asarray(res.hit)[0])
     assert int(np.asarray(res.face)[0]) == 0  # initial face, like trace_shi
 
 
 def test_outside_origin_misses():
-    occ = np.ones((16, 16, 16), bool)
-    o = np.array([[-1.0, 5.0, 5.0], [16.0, 5.0, 5.0]], np.float32)
+    occ = np.ones((64, 64, 64), bool)
+    o = np.array([[-1.0, 5.0, 5.0], [64.0, 5.0, 5.0]], np.float32)
     d = np.array([[1, 0, 0], [-1, 0, 0]], np.float32)
-    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d))
+    o, d = pad_rays(o, d)
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d),
+                max_steps=4096)
     assert not np.asarray(res.hit).any()  # trace_shi bounds rule
 
 
@@ -74,13 +88,14 @@ def test_axis_aligned_rays():
     ax = rng.integers(0, 3, n)
     sign = rng.choice([-1.0, 1.0], n)
     d[np.arange(n), ax] = sign
+    o, d = pad_rays(o, d)
     assert_matches_oracle(occ, o, d)
 
 
 def test_random_sparse_scene():
     rng = np.random.default_rng(4)
     occ = rng.random((64, 64, 64)) < 0.01
-    o, d = random_rays(rng, 2000, 64)
+    o, d = random_rays(rng, CORPUS_N, 64)
     assert_matches_oracle(occ, o, d)
 
 
@@ -95,7 +110,7 @@ def test_full_region_early_out():
     occ = np.zeros((64, 64, 64), bool)
     occ[0:16, 0:16, 0:16] = True   # one full 16^3 = full level-2 cell
     rng = np.random.default_rng(6)
-    o, d = random_rays(rng, 1000, 64)
+    o, d = random_rays(rng, CORPUS_N, 64)
     res, ref = assert_matches_oracle(occ, o, d)
     # rays that hit should mostly terminate in very few iterations thanks to
     # the full-node early-out
@@ -112,20 +127,23 @@ def test_terrain_scene(small_world):
 
 
 def test_empty_world_misses_everywhere():
-    occ = np.zeros((16, 16, 16), bool)
+    occ = np.zeros((64, 64, 64), bool)
     rng = np.random.default_rng(8)
-    o, d = random_rays(rng, 500, 16)
-    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d))
+    o, d = random_rays(rng, CORPUS_N, 64)
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d),
+                max_steps=4096)
     assert not np.asarray(res.hit).any()
 
 
 def test_active_mask():
-    occ = np.ones((16, 16, 16), bool)
+    occ = np.ones((64, 64, 64), bool)
     o = np.full((4, 3), 5.5, np.float32)
     d = np.tile(np.array([[1, 0, 0]], np.float32), (4, 1))
-    act = jnp.asarray([True, False, True, False])
-    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d), active=act)
-    assert np.asarray(res.hit).tolist() == [True, False, True, False]
+    o, d = pad_rays(o, d)
+    act_np = np.tile([True, False, True, False], CORPUS_N // 4)
+    res = trace(build_pyramid(occ), jnp.asarray(o), jnp.asarray(d),
+                max_steps=4096, active=jnp.asarray(act_np))
+    np.testing.assert_array_equal(np.asarray(res.hit), act_np)
 
 
 def test_grouped_mode_matches_oracle(small_world):
@@ -133,7 +151,7 @@ def test_grouped_mode_matches_oracle(small_world):
     must give identical results to the default any8B path."""
     _, _, occ = small_world
     rng = np.random.default_rng(17)
-    o, d = random_rays(rng, 2000, occ.shape[0])
+    o, d = random_rays(rng, CORPUS_N, occ.shape[0])
     pyr = build_pyramid(occ)
     a = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,
               use_full=False)
@@ -152,7 +170,7 @@ def test_any_only_rows_match_oracle(small_world):
     the full-mask is purely a traversal early-out."""
     _, _, occ = small_world
     rng = np.random.default_rng(12)
-    o, d = random_rays(rng, 2000, occ.shape[0])
+    o, d = random_rays(rng, CORPUS_N, occ.shape[0])
     pyr = build_pyramid(occ)
     a = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096)
     b = trace(pyr, jnp.asarray(o), jnp.asarray(d), max_steps=4096,

@@ -76,6 +76,9 @@ def _project_faces(fv, cam, width: int, height: int):
     o_a = jnp.where(axis == 0, pos[0], jnp.where(axis == 1, pos[1], pos[2]))
     visible = jnp.where(sgn == 1, o_a > plane.astype(F32),
                         o_a < plane.astype(F32))
+    # zero-extent rows are slot padding (WorldEditor incremental faces) —
+    # never rasterized
+    visible = visible & (eu > 0)
 
     # quad corners: plane coordinate on `axis`, (u, v+{0,1}) spans on others
     base = jnp.stack([vx, vy, vz], -1).astype(F32)       # (N, 3)

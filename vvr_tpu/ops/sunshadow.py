@@ -146,6 +146,10 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     # excluding them is what makes near-surface queries classifiable.
     s_a = jnp.where(axis == 0, s[0], jnp.where(axis == 1, s[1], s[2]))
     occl = jnp.where(sgn == 1, s_a < 0.0, s_a > 0.0)
+    # zero-extent rows are slot padding (WorldEditor incremental faces) —
+    # they are neither occluders nor S-grid support (degenerate anyway,
+    # but excluding them here keeps the entry allocation tight)
+    occl = occl & (eu > 0)
 
     base = jnp.stack([vx, vy, vz], -1).astype(F32)
     pc = (jnp.where(axis == 0, vx, jnp.where(axis == 1, vy, vz))
@@ -451,6 +455,71 @@ def build_sun_grids(faces, e1, e2, s, size: int, grid: int = GRID,
     cC = gridC[:grid * grid].reshape(co, bf, co, bf).max((1, 3))
     cBC = jnp.stack([cB.reshape(-1), cC.reshape(-1)], axis=1)
     return (gBC, cBC, a0, b0, ts), ok & s_ok
+
+
+def invalidate_sun_texels(grids, e1, e2, s, positions, size: int,
+                          cone_tan: float = 0.0):
+    """Conservative staleness repair after world edits: mark every sun-
+    space texel whose gate answer COULD be affected by geometry changes
+    at `positions` ((K, 3) int voxel coords) as AMBIGUOUS — certain-
+    shadow depth to -inf (no shadow claim), certain-light depth to +inf
+    (no light claim) — in both the fine and coarse tables. Lanes landing
+    there run the exact DDA against the (patched) traversal structure, so
+    frames stay exact without paying the full grid rebuild per edit
+    (renderer._sunmask: ~220 ms at 256^3); the full rebuild happens
+    lazily on the next sun move.
+
+    Soundness: widening ambiguity is always conservative (the classifier
+    only ever *skips* work it is certain about). The footprint is the
+    edited voxels' projected bbox grown by the largest per-texel margin
+    the build can ever apply (SAFE + cone reach over the whole world
+    depth range) plus one texel of floor quantization: any face the edit
+    adds/removes registers only within that region, and every gate
+    (masked_shadow_hits, soft_shadow_gate, the near-walk lift) reads the
+    query ray's OWN texel row — the projection is invariant along s, so
+    no query outside the region can see the change."""
+    import numpy as np
+    gBC, cBC, a0, b0, ts = grids
+    G = int(math.isqrt(gBC.shape[0]))
+    CO = int(math.isqrt(cBC.shape[0]))
+    bf = G // CO
+    e1n = np.asarray(e1, np.float64)
+    e2n = np.asarray(e2, np.float64)
+    a0f = float(a0)
+    b0f = float(b0)
+    tsf = float(ts)
+    grow = SAFE + (cone_tan * (size * math.sqrt(3.0) + S_SLACK)
+                   if cone_tan > 0.0 else 0.0)
+    # cluster by superbrick (edits are brush-local) and mark each
+    # cluster's grown rect — fills stay tiny host-side
+    pos = np.atleast_2d(np.asarray(positions, np.int64))
+    sbs, inv = np.unique(pos >> 3, axis=0, return_inverse=True)
+    mask = np.zeros((G, G), bool)
+    offs = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                     for z in (0, 1)], np.float64)
+    for k in range(len(sbs)):
+        sel = pos[inv == k].astype(np.float64)
+        cs = (sel[:, None, :] + offs[None]).reshape(-1, 3)  # cube corners
+        pa = cs @ e1n
+        pb = cs @ e2n
+        i0 = max(int(np.floor((pa.min() - grow - a0f) / tsf)) - 1, 0)
+        i1 = min(int(np.floor((pa.max() + grow - a0f) / tsf)) + 1, G - 1)
+        j0 = max(int(np.floor((pb.min() - grow - b0f) / tsf)) - 1, 0)
+        j1 = min(int(np.floor((pb.max() + grow - b0f) / tsf)) + 1, G - 1)
+        mask[j0:j1 + 1, i0:i1 + 1] = True
+    jj, ii = np.nonzero(mask)
+    if len(jj) == 0:
+        return grids
+    tex = jnp.asarray((jj * G + ii).astype(np.int32))
+    amb = jnp.stack([jnp.full((len(jj),), NEG, F32),
+                     jnp.full((len(jj),), jnp.float32(3e38), F32)], -1)
+    gBC = gBC.at[tex].set(amb)
+    cj, ci = np.nonzero(mask.reshape(CO, bf, CO, bf).any(axis=(1, 3)))
+    ctex = jnp.asarray((cj * CO + ci).astype(np.int32))
+    camb = jnp.stack([jnp.full((len(cj),), NEG, F32),
+                      jnp.full((len(cj),), jnp.float32(3e38), F32)], -1)
+    cBC = cBC.at[ctex].set(camb)
+    return (gBC, cBC, a0, b0, ts)
 
 
 def _certain(qz, rowB, rowC, inb, back):

@@ -266,6 +266,47 @@ class Renderer:
             self._sunmask_cache = (key, (e1j, e2j, grids))
         return self._sunmask_cache[1]
 
+    def apply_edits(self, editor, positions, solid: bool) -> dict:
+        """Per-frame structural edits (BASELINE config 5). The reference's
+        edit path is a disabled full tree rebuild (src/renderer.rs:362-369,
+        FIXME src/voxel/sparse.rs:314-318); here the WorldEditor patches
+        every attached structure incrementally (pyramid / jump grid /
+        paged pool spans / per-region face slots) and the sun-grid cache
+        is repaired CONSERVATIVELY — edited texels are marked ambiguous
+        (ops/sunshadow.invalidate_sun_texels) so the exact DDA absorbs
+        them, instead of paying the full grid rebuild per edit; the full
+        rebuild happens lazily on the next sun move (cache key epoch).
+        Returns {"patched_rows", "edit_ms"} (dispatch latency; the frame
+        call that follows synchronizes)."""
+        t0 = _time.monotonic()
+        positions = np.atleast_2d(np.asarray(positions, np.int64))
+        n = editor.set_voxels(positions, solid)
+        if editor.pyramid is not None:
+            self.scene.pyramid = editor.pyramid
+        if getattr(editor, "paged", None) is not None:
+            self.scene.paged = editor.paged
+        if editor.jumpgrid is not None:
+            self.scene.jumpgrid = editor.jumpgrid
+        if editor.faces is not None:
+            self.scene.faces = editor.faces
+        self.scene.epoch += 1
+        self.scene._chunk_index = None     # edits may create chunks
+        if self.use_sunmask and self._sunmask_cache is not None:
+            from vvr_tpu.ops.sunshadow import (CONE_TAN,
+                                               invalidate_sun_texels,
+                                               sun_basis)
+            e1j, e2j, grids = self._sunmask_cache[1]
+            _, _, s = sun_basis(self.sun[:3])
+            cone = self.cfg.shadow_samples > 1
+            grids = invalidate_sun_texels(
+                grids, np.asarray(e1j), np.asarray(e2j), s, positions,
+                self.scene.size, CONE_TAN if cone else 0.0)
+            lo = getattr(self, "_sun_dragging", False)
+            key = (self.sun[:3].tobytes(), self.scene.epoch, lo, cone)
+            self._sunmask_cache = (key, (e1j, e2j, grids))
+        return {"patched_rows": int(n),
+                "edit_ms": (_time.monotonic() - t0) * 1e3}
+
     def _finish_frame(self, img, t0, timed: bool, fetch: bool,
                       tainted: bool = False):
         if timed:

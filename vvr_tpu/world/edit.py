@@ -19,13 +19,23 @@ from vvr_tpu.world.pyramid import BrickPyramid
 
 
 class WorldEditor:
-    """Owns the mutable world: chunk bitsets + the device brick pyramid."""
+    """Owns the mutable world: chunk bitsets + the device brick pyramid.
 
-    def __init__(self, chunks: list[Chunk], pyramid: BrickPyramid,
-                 jumpgrid=None):
+    `pyramid` may be None for paged-scale worlds (1024^3 — the scene
+    skips the 260 MB pyramid there, renderer.py); pass `size` instead and
+    attach the structures that exist (attach_paged / attach_jump_grid /
+    attach_faces)."""
+
+    def __init__(self, chunks: list[Chunk], pyramid: BrickPyramid | None,
+                 jumpgrid=None, size: int | None = None):
         self.pyramid = pyramid
-        self.size = pyramid.size
-        self.depth = pyramid.depth
+        if pyramid is not None:
+            self.size = pyramid.size
+            self.depth = pyramid.depth
+        else:
+            assert size is not None, "size required when pyramid is None"
+            self.size = int(size)
+            self.depth = max(self.size.bit_length() - 1, 2) // 2
         n = self.size // CHUNK_SIZE
         self._chunk_index = {}
         for c in chunks:
@@ -187,10 +197,18 @@ class WorldEditor:
         # affected rows per level: the ancestor chains, deduplicated; the
         # grouped table needs whole 2x2x2 groups, so recompute every member
         # node of each affected group (idempotent for unaffected members)
+        n_patched = 0
+        if self.pyramid is None:
+            if getattr(self, "_pg_prows", None) is not None:
+                n_patched += self._patch_paged(positions)
+            if self.jumpgrid is not None:
+                self._patch_jump_grid(positions)
+            if self.faces is not None:
+                self._refresh_faces(positions)
+            return n_patched
         grouped = self.pyramid.rows_grp is not None
         new_rows = self.pyramid.rows
         new_grp = self.pyramid.rows_grp
-        n_patched = 0
         for level in range(1, self.depth + 1):
             cells = np.unique(positions >> (2 * level), axis=0)
             g = max(self.size >> (2 * level), 1)
@@ -231,11 +249,367 @@ class WorldEditor:
         self.pyramid = BrickPyramid(
             new_rows, self.pyramid.depth, self.pyramid.bases,
             rows_grp=new_grp, gbases=self.pyramid.gbases)
+        if getattr(self, "_pg_prows", None) is not None:
+            n_patched += self._patch_paged(positions)
         if self.jumpgrid is not None:
             self._patch_jump_grid(positions)
         if self.faces is not None:
-            self.faces = self._build_faces()
+            self._refresh_faces(positions)
         return n_patched
 
     def occupancy(self) -> np.ndarray:
         return self._occ
+
+    # ---- paged two-level grid (world/paged.py) ---------------------------
+
+    def _sb_words(self, sbs: np.ndarray):
+        """(words16, sub2, occupied) for (K, 3) x,y,z superbrick coords —
+        the pool-row payload (pool layout, world/paged.py: 512-bit voxel
+        occupancy in the jump-grid word order + u64 2^3-subcell any-mask,
+        bit = cx | cy<<2 | cz<<4)."""
+        from vvr_tpu.world import jumpgrid as jg
+        g = self.size // jg.SB
+        k = len(sbs)
+        occ6 = self._occ.reshape(g, jg.SB, g, jg.SB, g, jg.SB).transpose(
+            0, 2, 4, 1, 3, 5)
+        regions = occ6[sbs[:, 2], sbs[:, 1], sbs[:, 0]]   # (K, lz,ly,lx)
+        occw = regions.reshape(k, jg.SB, 2, 4, jg.SB).reshape(k, 512)
+        words = np.packbits(occw, axis=1,
+                            bitorder="little").view(np.uint32)  # (K, 16)
+        sub = regions.reshape(k, 4, 2, 4, 2, 4, 2).any(axis=(2, 4, 6))
+        sub2 = np.packbits(sub.reshape(k, 64), axis=1,
+                           bitorder="little").view(np.uint32)   # (K, 2)
+        return words, sub2, regions.any(axis=(1, 2, 3))
+
+    def attach_paged(self, tail_slack: int = 4096):
+        """Editable paged grid (world/paged.py layout) with PER-PAGE pool
+        slack: the kernel reads each page's pool base from its own row
+        (ops/paged.py prow[:, 2]), so bases need not be the exact prefix
+        popcount — each page gets `count + max(count/4, 2)` reserved pool
+        rows, and a superbrick flip rewrites ONLY its page's row span
+        (<= 64 row scatter) instead of shifting the whole pool (the
+        reference's full-rebuild FIXME, src/voxel/sparse.rs:314-318,
+        at pool granularity). A page outgrowing its span is reallocated
+        into the shared tail; exhausting the tail forces a full rebuild
+        (shape change -> one-time recompile)."""
+        from vvr_tpu.world import jumpgrid as jg
+        from vvr_tpu.world.paged import (PAGE_SB, PAGE_WORDS, PG,
+                                         POOL_WORDS, PagedGrid)
+        from vvr_tpu.world.pyramid import _pack_node_masks
+        assert self.size % PG == 0, "paged grid needs size % 32 == 0"
+        g = self.size // jg.SB
+        p = self.size // PG
+        occ_sb = self._occ.reshape(g, jg.SB, g, jg.SB, g, jg.SB).any(
+            axis=(1, 3, 5))                               # [z,y,x]
+        counts = occ_sb.reshape(p, PAGE_SB, p, PAGE_SB, p, PAGE_SB).sum(
+            axis=(1, 3, 5)).ravel().astype(np.int64)      # x-major pages
+        caps = counts + np.maximum(counts // 4, 2)
+        base = np.zeros_like(caps)
+        np.cumsum(caps[:-1], out=base[1:])
+        total = int(caps.sum()) + tail_slack
+
+        prows = np.zeros((p ** 3, PAGE_WORDS), np.uint32)
+        prows[:, 0:2] = _pack_node_masks(occ_sb)
+        prows[:, 2] = base.astype(np.uint32)
+        occ_pg = occ_sb.reshape(p, PAGE_SB, p, PAGE_SB, p, PAGE_SB).any(
+            axis=(1, 3, 5))
+        prows[:, 3] = self._paged_odist_col(occ_pg)
+
+        brows = np.zeros((total, POOL_WORDS), np.uint32)
+        gz, gy, gx = np.nonzero(occ_sb)
+        page_id = ((gx >> 2).astype(np.int64)
+                   + (gy >> 2).astype(np.int64) * p
+                   + (gz >> 2).astype(np.int64) * p * p)
+        bit = (gx & 3) | ((gy & 3) << 2) | ((gz & 3) << 4)
+        order = np.argsort(page_id * 64 + bit, kind="stable")
+        sbs = np.stack([gx, gy, gz], -1)[order]
+        # rank within page = position since the page's first occupied sb
+        pid_s = page_id[order]
+        firsts = np.zeros(len(pid_s), np.int64)
+        newp = np.ones(len(pid_s), bool)
+        newp[1:] = pid_s[1:] != pid_s[:-1]
+        firsts = np.maximum.accumulate(
+            np.where(newp, np.arange(len(pid_s)), 0))
+        rank = np.arange(len(pid_s)) - firsts
+        rowi = base[pid_s] + rank
+        words, sub2, _ = self._sb_words(sbs)
+        brows[rowi, 0:16] = words
+        brows[rowi, 16:18] = sub2
+
+        self._pg_occ_sb = occ_sb
+        self._pg_occ_pg = occ_pg
+        self._pg_counts = counts
+        self._pg_caps = caps
+        self._pg_base = base
+        self._pg_spare = int(caps.sum())   # tail allocation cursor
+        self._pg_total = total
+        self._pg_brows_host = brows
+        self._pg_prows = prows
+        self.paged = PagedGrid(jnp.asarray(prows), jnp.asarray(brows),
+                               self.size)
+        return self.paged
+
+    @staticmethod
+    def _paged_odist_col(occ_pg: np.ndarray) -> np.ndarray:
+        from vvr_tpu.world.jumpgrid import octant_distances
+        odist = np.minimum(octant_distances(occ_pg, cap=15), 15).astype(
+            np.uint32)
+        packed = np.zeros(occ_pg.shape, np.uint32)
+        for oct_ in range(8):
+            packed |= odist[oct_] << np.uint32(4 * oct_)
+        return packed.ravel()
+
+    def _patch_paged(self, positions: np.ndarray) -> int:
+        """Patch the paged grid for edited voxel positions (K, 3) x,y,z.
+        Non-flip edits scatter only the touched pool rows; a superbrick
+        occupancy flip rewrites its page's pool span + page row; a
+        page-level flip additionally rewrites the octant-radius column
+        (page count is p^3 <= 32K — one small scatter)."""
+        from vvr_tpu.world.paged import PAGE_SB, PagedGrid
+        from vvr_tpu.world.pyramid import _pack_node_masks
+        p = self.size // 32
+        aff = np.unique(positions >> 3, axis=0)            # (K, 3) x,y,z
+        words, sub2, new_occ = self._sb_words(aff)
+        page_id = ((aff[:, 0] >> 2).astype(np.int64)
+                   + (aff[:, 1] >> 2).astype(np.int64) * p
+                   + (aff[:, 2] >> 2).astype(np.int64) * p * p)
+        bit = (aff[:, 0] & 3) | ((aff[:, 1] & 3) << 2) | ((aff[:, 2] & 3) << 4)
+        old_occ = self._pg_occ_sb[aff[:, 2], aff[:, 1], aff[:, 0]]
+        flip = new_occ != old_occ
+        row_idx = []
+        row_val = []
+        prow_idx = []
+        prow_val = []
+        n_rows = 0
+
+        def mask_below(mask_lo, mask_hi, b):
+            if b >= 32:
+                return (int(mask_lo).bit_count()
+                        + (int(mask_hi) & ((1 << (b - 32)) - 1)).bit_count())
+            return (int(mask_lo) & ((1 << b) - 1)).bit_count()
+
+        if not flip.any():
+            # in-place pool-row updates for still-occupied superbricks
+            for k in np.nonzero(new_occ)[0]:
+                pg = int(page_id[k])
+                lo, hi = (int(self._pg_prows[pg, 0]),
+                          int(self._pg_prows[pg, 1]))
+                r = int(self._pg_base[pg]) + mask_below(lo, hi, int(bit[k]))
+                vals = np.zeros(20, np.uint32)
+                vals[0:16] = words[k]
+                vals[16:18] = sub2[k]
+                self._pg_brows_host[r] = vals
+                row_idx.append(r)
+                row_val.append(vals)
+                n_rows += 1
+        else:
+            self._pg_occ_sb[aff[:, 2], aff[:, 1], aff[:, 0]] = new_occ
+            pg_flip = False
+            for pg in np.unique(page_id):
+                pgi = int(pg)
+                px = pgi % p
+                py = (pgi // p) % p
+                pz = pgi // (p * p)
+                reg = self._pg_occ_sb[pz * PAGE_SB:(pz + 1) * PAGE_SB,
+                                      py * PAGE_SB:(py + 1) * PAGE_SB,
+                                      px * PAGE_SB:(px + 1) * PAGE_SB]
+                newmask = _pack_node_masks(reg)[0]          # (2,) u32
+                cnt = int(reg.sum())
+                if cnt > self._pg_caps[pgi]:
+                    # reallocate the page into the shared tail
+                    need = cnt + max(cnt // 4, 2)
+                    if self._pg_spare + need > self._pg_total:
+                        return self._paged_full_rebuild(positions)
+                    self._pg_base[pgi] = self._pg_spare
+                    self._pg_caps[pgi] = need
+                    self._pg_spare += need
+                # rewrite the page's pool span: old rows of surviving
+                # superbricks come from the host mirror; affected ones
+                # from the freshly computed words
+                lz, ly, lx = np.nonzero(reg)                # z,y,x local
+                bits_n = (lx | (ly << 2) | (lz << 4)).astype(np.int64)
+                o = np.argsort(bits_n)
+                bits_n = bits_n[o]
+                gxyz = np.stack([px * PAGE_SB + lx[o], py * PAGE_SB + ly[o],
+                                 pz * PAGE_SB + lz[o]], -1)
+                new_rows = np.zeros((cnt, 20), np.uint32)
+                old_lo = int(self._pg_prows[pgi, 0])
+                old_hi = int(self._pg_prows[pgi, 1])
+                old_base_rows = self._pg_brows_host
+                in_aff = {(int(a[0]), int(a[1]), int(a[2])): k
+                          for k, a in enumerate(aff)
+                          if int(page_id[k]) == pgi}
+                ob = int(self._pg_prows[pgi, 2])
+                for r_i in range(cnt):
+                    key = (int(gxyz[r_i, 0]), int(gxyz[r_i, 1]),
+                           int(gxyz[r_i, 2]))
+                    k = in_aff.get(key)
+                    if k is not None:
+                        new_rows[r_i, 0:16] = words[k]
+                        new_rows[r_i, 16:18] = sub2[k]
+                    else:
+                        b = int(bits_n[r_i])
+                        was = ((old_hi >> (b - 32)) & 1 if b >= 32
+                               else (old_lo >> b) & 1)
+                        assert was, "surviving superbrick missing from mask"
+                        new_rows[r_i] = old_base_rows[
+                            ob + mask_below(old_lo, old_hi, b)]
+                nb = int(self._pg_base[pgi])
+                self._pg_brows_host[nb:nb + cnt] = new_rows
+                row_idx.extend(range(nb, nb + cnt))
+                row_val.extend(new_rows)
+                n_rows += cnt
+                # page row: mask + base (+ odist col rewritten below)
+                old_pg_occ = (old_lo | old_hi) != 0
+                self._pg_counts[pgi] = cnt
+                self._pg_prows[pgi, 0:2] = newmask
+                self._pg_prows[pgi, 2] = np.uint32(nb)
+                prow_idx.append(pgi)
+                if (cnt > 0) != old_pg_occ:
+                    pg_flip = True
+            if pg_flip:
+                self._pg_occ_pg = self._pg_occ_sb.reshape(
+                    p, PAGE_SB, p, PAGE_SB, p, PAGE_SB).any(axis=(1, 3, 5))
+                self._pg_prows[:, 3] = self._paged_odist_col(self._pg_occ_pg)
+                # octant radii change grid-wide on a page flip: one
+                # column scatter (<= 32K rows)
+                new_prows = self.paged.prows.at[:, 3].set(
+                    jnp.asarray(self._pg_prows[:, 3]))
+            else:
+                new_prows = self.paged.prows
+            for pgi in prow_idx:
+                prow_val.append(self._pg_prows[pgi].copy())
+            if prow_idx:
+                new_prows = new_prows.at[jnp.asarray(
+                    np.asarray(prow_idx, np.int32))].set(
+                    jnp.asarray(np.stack(prow_val)))
+            self.paged = PagedGrid(new_prows, self.paged.brows, self.size)
+        if row_idx:
+            brows = self.paged.brows.at[jnp.asarray(
+                np.asarray(row_idx, np.int32))].set(
+                jnp.asarray(np.stack(row_val)))
+            self.paged = PagedGrid(self.paged.prows, brows, self.size)
+        return n_rows
+
+    def _paged_full_rebuild(self, positions) -> int:
+        """Tail exhausted: rebuild mirrors + device arrays from scratch
+        (shape may change -> one-time recompile of consumers)."""
+        self.attach_paged()
+        return int(len(positions))
+
+    # ---- incremental exposed faces (world/faces.py region extraction) ----
+
+    def attach_faces_incremental(self, region: int = CHUNK_SIZE,
+                                 slack: float = 0.5, pad_rows: int = 4):
+        """Editable face set: per-REGION (default chunk-sized) extraction
+        into capacity-padded device slots. Runs are capped at region
+        boundaries (extract_merged_faces_region), so one region's
+        re-extraction composes with untouched neighbors; padding rows are
+        zero-extent sentinels both consumers skip (ops/rastertrace.py
+        `visible &= eu > 0`, ops/sunshadow.py `occl &= eu > 0`).
+        Face count rises vs the global greedy merge (runs no longer span
+        regions) — measured ~1-3% on terrain; the raster entry loop's
+        trip count tracks the dynamic entry total, so the cost is the
+        slightly larger allocation, not proportional work."""
+        from vvr_tpu.world.faces import extract_merged_faces_region
+        self._fc_region = int(region)
+        nr = self.size // self._fc_region
+        sets = {}
+        counts = np.zeros(nr ** 3, np.int64)
+        for rz in range(nr):
+            for ry in range(nr):
+                for rx in range(nr):
+                    fs = self._region_faces(rx, ry, rz)
+                    sets[(rx, ry, rz)] = fs
+                    counts[rx + ry * nr + rz * nr * nr] = len(fs)
+        caps = np.maximum(counts + (counts * slack).astype(np.int64),
+                          counts + pad_rows)
+        base = np.zeros_like(caps)
+        np.cumsum(caps[:-1], out=base[1:])
+        total = int(caps.sum())
+        host = {k: np.zeros(total, np.int32)
+                for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
+                          "einfo")}
+        # sentinel padding: off-world min corner, zero extent, sgn 0 —
+        # invisible to every camera inside x > -8 and skipped by eu > 0
+        host["vx"][:] = -8
+        host["vy"][:] = -8
+        host["vz"][:] = -8
+        for (rx, ry, rz), fs in sets.items():
+            b = int(base[rx + ry * nr + rz * nr * nr])
+            for k in host:
+                host[k][b:b + len(fs)] = getattr(fs, k)
+        self._fc_base = base
+        self._fc_caps = caps
+        self._fc_counts = counts
+        self._fc_host = host
+        self.faces = tuple(jnp.asarray(host[k]) for k in
+                           ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
+                            "einfo"))
+        return self.faces
+
+    def _region_faces(self, rx: int, ry: int, rz: int):
+        from vvr_tpu.world.faces import extract_merged_faces_region
+        cs = self._fc_region
+        s = self.size
+        halo = np.zeros((cs + 2,) * 3, bool)
+        x0, y0, z0 = rx * cs, ry * cs, rz * cs
+        zs = slice(max(z0 - 1, 0), min(z0 + cs + 1, s))
+        ys = slice(max(y0 - 1, 0), min(y0 + cs + 1, s))
+        xs = slice(max(x0 - 1, 0), min(x0 + cs + 1, s))
+        halo[zs.start - (z0 - 1):zs.stop - (z0 - 1),
+             ys.start - (y0 - 1):ys.stop - (y0 - 1),
+             xs.start - (x0 - 1):xs.stop - (x0 - 1)] = \
+            self._occ[zs, ys, xs]
+        return extract_merged_faces_region(halo, (x0, y0, z0), s, cs)
+
+    def _refresh_faces(self, positions: np.ndarray):
+        """Incremental if attach_faces_incremental was used, else the
+        full rebuild (attach_faces's original behavior)."""
+        if getattr(self, "_fc_host", None) is None:
+            self.faces = self._build_faces()
+            return
+        cs = self._fc_region
+        nr = self.size // cs
+        # affected regions: the positions' own + neighbors across region
+        # boundaries (an edit changes the NEIGHBOR voxel's exposure too)
+        cand = [positions]
+        for ax in range(3):
+            for d in (-1, 1):
+                q = positions.copy()
+                q[:, ax] += d
+                cand.append(q)
+        cand = np.concatenate(cand, 0)
+        cand = cand[np.all((cand >= 0) & (cand < self.size), axis=1)]
+        regs = np.unique(cand // cs, axis=0)
+        row_idx = []
+        row_vals = {k: [] for k in ("vx", "vy", "vz", "axis", "sgn",
+                                    "eu", "ev", "einfo")}
+        for rx, ry, rz in regs:
+            ri = int(rx + ry * nr + rz * nr * nr)
+            fs = self._region_faces(int(rx), int(ry), int(rz))
+            if len(fs) > self._fc_caps[ri]:
+                # slot overflow: full re-attach (one-time recompile of
+                # consumers on the new shapes)
+                self.attach_faces_incremental(region=cs)
+                return
+            b = int(self._fc_base[ri])
+            cap = int(self._fc_caps[ri])
+            n = len(fs)
+            sl = slice(b, b + cap)
+            for k in row_vals:
+                col = np.full(cap, -8 if k in ("vx", "vy", "vz") else 0,
+                              np.int32)
+                col[:n] = getattr(fs, k)
+                self._fc_host[k][sl] = col
+                row_vals[k].append(col)
+            row_idx.append(np.arange(b, b + cap, dtype=np.int32))
+            self._fc_counts[ri] = n
+        if not row_idx:
+            return
+        idx = jnp.asarray(np.concatenate(row_idx))
+        keys = ("vx", "vy", "vz", "axis", "sgn", "eu", "ev", "einfo")
+        self.faces = tuple(
+            self.faces[i].at[idx].set(
+                jnp.asarray(np.concatenate(row_vals[k])))
+            for i, k in enumerate(keys))

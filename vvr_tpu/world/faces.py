@@ -222,3 +222,51 @@ def extract_merged_faces(occ: np.ndarray) -> FaceSet:
            for k, v in out.items()}
     return FaceSet(cat["vx"], cat["vy"], cat["vz"], cat["axis"],
                    cat["sgn"], size, cat["eu"], cat["ev"], cat["einfo"])
+
+
+def extract_merged_faces_region(occ_halo: np.ndarray, origin, size: int,
+                                core: int) -> FaceSet:
+    """Merged exposed faces of ONE core region (the per-chunk unit of
+    incremental face patching — WorldEditor.attach_faces(incremental)).
+
+    `occ_halo` is the (core+2)^3 occupancy of the region plus a 1-voxel
+    halo (exposure at the core boundary needs the neighbor); `origin` is
+    the core's world min corner. Faces are extracted from the halo'd
+    exposure masks CROPPED to the core, so greedy runs never cross the
+    region boundary — the invariant that makes per-region re-extraction
+    compose into a consistent global face set (a run capped at a region
+    edge stays capped no matter what the neighbor region holds). einfo
+    internal-edge flags are likewise computed within the core only: an
+    edge adjacent to a coplanar face in ANOTHER region reads as a
+    silhouette, which only widens the sun-classifier's ambiguous residue
+    (conservative; the exact DDA absorbs it)."""
+    occ_halo = np.asarray(occ_halo, bool)
+    assert occ_halo.shape == (core + 2,) * 3
+    out = {k: [] for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
+                           "einfo")}
+    transp = {0: (2, 0, 1), 1: (1, 0, 2), 2: (0, 1, 2)}
+    corer = slice(1, core + 1)
+    for axis in (0, 1, 2):
+        for sgn in (0, 1):
+            mask = _exposed_mask(occ_halo, axis, sgn)[
+                corer, corer, corer].transpose(transp[axis])
+            w, u0, v0, eu, ev = _merge_layer_runs(mask)
+            einfo = _v_edge_internal(mask, w, u0, v0, eu, ev)
+            if axis == 0:
+                vx, vy, vz = w, u0, v0
+            elif axis == 1:
+                vx, vy, vz = u0, w, v0
+            else:
+                vx, vy, vz = u0, v0, w
+            out["vx"].append(vx + np.int32(origin[0]))
+            out["vy"].append(vy + np.int32(origin[1]))
+            out["vz"].append(vz + np.int32(origin[2]))
+            out["axis"].append(np.full(len(w), axis, np.int32))
+            out["sgn"].append(np.full(len(w), sgn, np.int32))
+            out["eu"].append(eu)
+            out["ev"].append(ev)
+            out["einfo"].append(einfo)
+    cat = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
+           for k, v in out.items()}
+    return FaceSet(cat["vx"], cat["vy"], cat["vz"], cat["axis"],
+                   cat["sgn"], size, cat["eu"], cat["ev"], cat["einfo"])

@@ -135,7 +135,15 @@ def build_paged_grid(occ: np.ndarray) -> PagedGrid:
     h = size // 2
     occ2 = occ.reshape(h, 2, h, 2, h, 2).any(axis=(1, 3, 5))
     sub = _pack_node_masks(occ2)                          # (g^3, 2)
-    brows = np.zeros((max(n_pool, 1), POOL_WORDS), np.uint32)
+    # pool capacity rounds up to a power of two (min 512): the kernel
+    # gathers by row index and never reads past n_pool, so padding is
+    # free semantically, and a quantized shape means different scenes of
+    # the same world size share one jit specialization (test-suite
+    # compile collapse; also fewer recompiles across edit sessions)
+    cap = 512
+    while cap < n_pool:
+        cap *= 2
+    brows = np.zeros((cap, POOL_WORDS), np.uint32)
     brows[:n_pool, 0:16] = words[sb_flat]
     brows[:n_pool, 16:18] = sub[sb_flat]
     return PagedGrid(jnp.asarray(prows), jnp.asarray(brows), true_size)
