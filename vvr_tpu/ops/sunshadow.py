@@ -653,7 +653,8 @@ def near_walk_classify(accel, p_o, p_d, rowC, sun3, size: int):
 
 def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
                        size: int, pack_cap, back: float = BACK,
-                       accel=None):
+                       accel=None, cap1: int | None = None,
+                       near_k: int = NEAR_K):
     """The frame's hard-shadow query with the classifier fast path:
     ONE full-width fine-grid gather answers ~92% of lanes (one-shot
     gather cost is lane-count-bound, NOT table-size-bound — round-4
@@ -723,7 +724,7 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
     # GROUP ids at n/8 width; stage 2 tightens the expanded groups to
     # true ambiguous lanes at the expanded width. Same index set, ~3x
     # cheaper; either cap's overflow leaves lanes unmarked for the net.
-    cap1 = max(n // 12, 4096)
+    cap1 = cap1 or max(n // 12, 4096)
     idx, valid = pack_indices_grouped(amb, cap1)
     safe = jnp.minimum(idx, n - 1)
     p_o = jnp.stack([sox[safe], soy[safe], soz[safe]], -1)
@@ -733,7 +734,7 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
         # silhouette lanes resolve locally: exact K-crossing walk, then
         # re-classify at the lifted depth with the SAME fine-grid row
         # (the projection texel is invariant along the sun direction)
-        nh, nexit, t_end = _near_segment(accel, p_o, sun3)
+        nh, nexit, t_end = _near_segment(accel, p_o, sun3, K=near_k)
         lift = qz[safe] + t_end > jnp.take(row[:, 1], safe) + SAFE
         near_hit = valid & nh
         p_dda_active = valid & ~(nh | nexit | lift)
