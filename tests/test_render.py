@@ -311,37 +311,102 @@ def test_downscale_factor(pyr):
     assert hdr.shape == (32, 48, 4)
 
 
-def _golden_views(pyr):
+def _golden_views(pyr, full: bool = False):
     cams = {
         "terrain": Camera.look_at([32, 28, 6], [32, 2, 45], fov=85),
         "sky": Camera.look_at([32, 40, 32], [32, 80, 90], fov=100),
     }
-    for i, s in enumerate(load_snapshots()[:2]):
+    n_snaps = 5 if full else 2
+    for i, s in enumerate(load_snapshots()[:n_snaps]):
         cam = Camera.from_snapshot(s)
         cam.position = cam.position * (64 / 1024.0)
         cams[f"snap{i}"] = cam
     return cams
 
 
-def test_golden_images(pyr):
+def _check_golden(name, img, regen):
+    path = GOLDEN_DIR / f"{name}.npy"
+    if regen:
+        np.save(path, img)
+        return
+    # a missing golden is a hard failure (never silently re-baseline;
+    # regenerate explicitly with VVR_REGEN_GOLDEN=1)
+    assert path.exists(), f"golden {path} missing"
+    golden = np.load(path)
+    # u8 output must match almost exactly on the same backend; allow a
+    # few LSBs for cross-platform float differences
+    diff = np.abs(img.astype(int) - golden.astype(int))
+    frac_off = (diff > 2).mean()
+    assert frac_off < 0.005, f"{name}: {frac_off:.4%} pixels off"
+
+
+def _regen():
     import os
-    regen = os.environ.get("VVR_REGEN_GOLDEN") == "1"
+    return os.environ.get("VVR_REGEN_GOLDEN") == "1"
+
+
+def test_golden_images(pyr):
     GOLDEN_DIR.mkdir(exist_ok=True)
     for name, cam in _golden_views(pyr).items():
         img, _ = _render(pyr, cam)
-        path = GOLDEN_DIR / f"{name}.npy"
-        if regen:
-            np.save(path, img)
-            continue
-        # a missing golden is a hard failure (never silently re-baseline;
-        # regenerate explicitly with VVR_REGEN_GOLDEN=1)
-        assert path.exists(), f"golden {path} missing"
-        golden = np.load(path)
-        # u8 output must match almost exactly on the same backend; allow a
-        # few LSBs for cross-platform float differences
-        diff = np.abs(img.astype(int) - golden.astype(int))
-        frac_off = (diff > 2).mean()
-        assert frac_off < 0.005, f"{name}: {frac_off:.4%} pixels off"
+        _check_golden(name, img, _regen())
+
+
+@pytest.mark.full
+def test_golden_images_all_snapshots(pyr):
+    """All 5 reference snapshot poses (src/snapshots.json /
+    src/movement.rs:124-151) as goldens — the smoke tier pins snap0/1;
+    this covers the rest of the corpus (VERDICT r4 next #6)."""
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    views = _golden_views(pyr, full=True)
+    for name in ("snap2", "snap3", "snap4"):
+        img, _ = _render(pyr, views[name])
+        _check_golden(name, img, _regen())
+
+
+@pytest.mark.full
+def test_golden_config4_style(small_world, pyr):
+    """Config-4-style golden: 4-bounce mirrors + AO + 4-sample soft
+    shadows with cone sun grids (the BASELINE config-4 knobs at golden
+    scale)."""
+    from vvr_tpu.ops.sunshadow import CONE_TAN, build_sun_grids, sun_basis
+    from vvr_tpu.world.faces import extract_merged_faces
+    from vvr_tpu.world.svt import density_from_occupancy
+
+    _, _, occ = small_world
+    cfg = RenderConfig(**{**SMALL_CFG.__dict__, "shadow_samples": 4,
+                          "max_ray_iterations": 4,
+                          "ambient_occlusion": True})
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    sun = np.array([-0.28, 0.65, -0.71], np.float32)
+    sun /= np.linalg.norm(sun)
+    faces = extract_merged_faces(occ).device_tuple()
+    e1, e2, s = sun_basis(sun)
+    grids, gok = build_sun_grids(faces, jnp.asarray(e1), jnp.asarray(e2),
+                                 jnp.asarray(s), occ.shape[0],
+                                 cone_tan=CONE_TAN)
+    assert bool(gok)
+    img, _ = _render(pyr, cam, cfg, mirror_materials=True,
+                     svt_density=density_from_occupancy(occ),
+                     sunmask=(jnp.asarray(e1), jnp.asarray(e2), grids))
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    _check_golden("config4", img, _regen())
+
+
+@pytest.mark.full
+def test_golden_paged(small_world):
+    """Paged-grid golden: the 1024^3-scale two-level structure
+    (ops/paged.py) rendering the golden world — pins the paged frame
+    output against regression (frame parity vs the pyramid is asserted
+    separately by test_paged_traversal_frame_matches_pyramid)."""
+    from vvr_tpu.world.paged import build_paged_grid
+
+    _, _, occ = small_world
+    pg = build_paged_grid(occ)
+    cam = Camera.look_at([32, 28, 6], [32, 2, 45], fov=85)
+    img, _ = _render(pg, cam)
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    _check_golden("paged", img, _regen())
 
 
 if __name__ == "__main__":

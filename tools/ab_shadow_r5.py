@@ -7,7 +7,9 @@ masked_shadow_hits VARIANTS on the real bench-scene inputs (raster
 winners' surface points) at 2M lanes, K-chained per jit to amortize the
 axon tunnel RTT, and checks each variant's hits stay bit-identical.
 
-Run on TPU: python tools/ab_shadow_r5.py
+Run on TPU: python tools/ab_shadow_r5.py [variant_index ...]
+(one or two variants per process — each K-chained jit costs minutes of
+remote compile; the persistent cache makes exact reruns fast)
 """
 from __future__ import annotations
 
@@ -34,7 +36,7 @@ from vvr_tpu.world.faces import extract_merged_faces
 from vvr_tpu.world.generator import assemble_dense, generate_world
 from vvr_tpu.world.jumpgrid import build_jump_grid
 
-K = 4
+K = 2
 
 
 def main():
@@ -114,14 +116,18 @@ def main():
         return jax.jit(run)
 
     variants = [
-        ("current (walk K=6, cap n/12)", variant(grid, None, 6)),
-        ("no near-walk", variant(None, None, 6)),
-        ("walk K=3", variant(grid, None, 3)),
-        ("walk K=6, cap n/8", variant(grid, max(n // 8, 4096), 6)),
-        ("walk K=6, cap n/16", variant(grid, max(n // 16, 4096), 6)),
+        ("current (walk K=6, cap n/12)", lambda: variant(grid, None, 6)),
+        ("no near-walk", lambda: variant(None, None, 6)),
+        ("walk K=3", lambda: variant(grid, None, 3)),
+        ("walk K=6, cap n/8", lambda: variant(grid, max(n // 8, 4096), 6)),
+        ("walk K=6, cap n/16", lambda: variant(grid, max(n // 16, 4096),
+                                               6)),
     ]
+    sel = [int(a) for a in sys.argv[1:]] or list(range(len(variants)))
     ref = None
-    for name, fn in variants:
+    for vi in sel:
+        name, make = variants[vi]
+        fn = make()
         out = fn(*s_o, shadow_active)
         outn = np.asarray(out)
         if ref is None:

@@ -10,7 +10,10 @@ direction every frame — nothing about the primary pass can be cached),
 while the sun stays fixed (the sun-grid cache holds, exactly like the
 reference's static sun between middle-mouse drags).
 
-Usage: python tools/measure_interactive.py [width height [frames]]
+Usage: python tools/measure_interactive.py [width height [frames [ds]]]
+`ds` is the downscale_factor — the reference's own knob (src/main.rs:37):
+render at (w/ds, h/ds) internally, composite up to the full output
+resolution inside the same jitted frame (ops/post.py integer upscale).
 Prints one JSON line per config; run on the TPU host.
 """
 from __future__ import annotations
@@ -25,13 +28,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def run(width: int, height: int, frames: int = 60):
+def run(width: int, height: int, frames: int = 60, ds: int = 1):
     from vvr_tpu.config import RenderConfig, WorldConfig
     from vvr_tpu.render.renderer import Renderer
     from vvr_tpu.utils.camera import Camera
 
     cfg = RenderConfig(width=width, height=height, shadow_samples=1,
-                       max_ray_iterations=3)
+                       max_ray_iterations=3, downscale_factor=ds)
     r = Renderer(WorldConfig(depth=4), cfg)
 
     def cam_at(i: int) -> Camera:
@@ -70,10 +73,13 @@ def run(width: int, height: int, frames: int = 60):
                  timed=True)
     lat_ms = (time.monotonic() - t0) / 8 * 1e3
     print(json.dumps({
-        "demo": f"{width}x{height} moving-camera",
+        "demo": f"{width}x{height} moving-camera"
+                + (f" (ds {ds}: internal {width//ds}x{height//ds})"
+                   if ds > 1 else ""),
         "frames": frames, "fps": round(fps, 2),
         "frame_ms": round(dt / frames * 1e3, 1),
         "synced_latency_ms": round(lat_ms, 1),
+        "downscale_factor": ds,
         "shadow_samples": 1, "bounces": 3}), flush=True)
     return fps
 
@@ -82,6 +88,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3:
         w, h = int(sys.argv[1]), int(sys.argv[2])
         n = int(sys.argv[3]) if len(sys.argv) > 3 else 60
-        run(w, h, n)
+        d = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        run(w, h, n, d)
     else:
         run(640, 360)
