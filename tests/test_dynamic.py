@@ -230,3 +230,49 @@ def test_edit_full_and_empty_transitions():
                       np.array([[1.0, 0.0, 0.0]], np.float32))
     assert bool(np.asarray(res.hit)[0]) == bool(ref["hit"][0])
     assert int(np.asarray(res.axis_coord)[0]) == int(ref["axis_coord"][0]) == 1
+
+
+def test_edits_update_paged_grid():
+    """Per-frame edits keep the attached PAGED grid (the 1024^3-scale
+    two-level structure, world/paged.py) traversal-equal to a
+    from-scratch build — BASELINE config 5's edit path (VERDICT r4 next
+    #3). The patched pool layout may differ (attach_paged reserves
+    per-page slack so patches never re-base), so equality is asserted on
+    TRAVERSAL RESULTS over a ray corpus plus the brush probe, not on raw
+    rows."""
+    from vvr_tpu.ops.paged import trace_paged
+    from vvr_tpu.world.paged import build_paged_grid
+
+    occ = np.zeros((64, 64, 64), bool)
+    occ[:, :20, :] = True          # occ[z, y, x] slab
+    chunks = [Chunk([0, 0, 0], occ.transpose(2, 1, 0).copy()).rebuild()]
+    ed = WorldEditor(chunks, None, size=64)
+    pg = ed.attach_paged()
+
+    rng = np.random.default_rng(11)
+    o = rng.uniform(-4, 68, (512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    def results(g):
+        r = trace_paged(g, oj, dj, max_steps=2048)
+        return (np.asarray(r.hit), np.asarray(r.face),
+                np.asarray(r.axis_coord))
+
+    # brush on the slab top + a floating ball in empty space (page flips
+    # empty -> non-empty), then carve part back (non-empty -> empty pool
+    # spans)
+    xs, ys, zs = np.meshgrid(*[np.arange(-2, 3)] * 3, indexing="ij")
+    ball = np.stack([xs, ys, zs], -1).reshape(-1, 3)
+    for center, solid in [((32, 20, 32), True), ((16, 40, 48), True),
+                          ((16, 40, 48), False), ((8, 19, 8), False)]:
+        pts = ball + np.asarray(center)
+        pts = pts[(pts >= 0).all(1) & (pts < 64).all(1)]
+        n = ed.set_voxels(pts, solid)
+        assert n >= 0
+        fresh = build_paged_grid(ed.occupancy())
+        got = results(ed.paged)
+        want = results(fresh)
+        for g, w, name in zip(got, want, ("hit", "face", "axis_coord")):
+            np.testing.assert_array_equal(g, w, err_msg=name)

@@ -61,6 +61,17 @@ def main():
     e1j, e2j = jnp.asarray(e1), jnp.asarray(e2)
     grids, gok = build_sun_grids(fd, e1j, e2j, jnp.asarray(s), size)
     assert bool(gok)
+    grids_hi = None
+    if any(a in ("6", "7") for a in sys.argv[1:]):
+        import time as _t
+        t0 = _t.monotonic()
+        grids_hi, gok_hi = build_sun_grids(fd, e1j, e2j, jnp.asarray(s),
+                                           size, grid=4096,
+                                           cap_entries=1 << 22)
+        jax.block_until_ready(grids_hi[0])
+        print(json.dumps({"build_4096_s":
+                          round(_t.monotonic() - t0, 1),
+                          "ok": bool(gok_hi)}), flush=True)
 
     # raster winners -> the frame's exact shadow-start channels
     res = trace_raster(fd, ct, d, jnp.asarray(False), size, W, H)
@@ -103,13 +114,15 @@ def main():
                           pack_first=pack_first, with_stats=with_stats,
                           phase1_groups=ph, cascade=ca)
 
-    def variant(accel, cap1, near_k):
+    def variant(accel, cap1, near_k, g=None):
+        gr = g if g is not None else grids
+
         def run(sox, soy, soz, act):
             acc = jnp.zeros((n,), jnp.int32)
             for k in range(K):
                 h = masked_shadow_hits(
                     tr, (sox + k * 1e-7, soy, soz), sun_j, e1j, e2j,
-                    grids, act, size, max(n // 10, 2048), accel=accel,
+                    gr, act, size, max(n // 10, 2048), accel=accel,
                     cap1=cap1, near_k=near_k)
                 acc = acc + h.astype(jnp.int32)
             return acc
@@ -122,6 +135,11 @@ def main():
         ("walk K=6, cap n/8", lambda: variant(grid, max(n // 8, 4096), 6)),
         ("walk K=6, cap n/16", lambda: variant(grid, max(n // 16, 4096),
                                                6)),
+        ("walk K=9", lambda: variant(grid, None, 9)),
+        ("grid 4096, cap n/24", lambda: variant(
+            grid, max(n // 24, 4096), 6, g=grids_hi)),
+        ("grid 4096, cap n/12", lambda: variant(grid, None, 6,
+                                                g=grids_hi)),
     ]
     sel = [int(a) for a in sys.argv[1:]] or list(range(len(variants)))
     ref = None
