@@ -145,9 +145,11 @@ def _project_faces(fv, cam, width: int, height: int):
 # at (TKX*TKY)/128 lane utilization on TPU (8,128)-tiled vregs, so wider
 # tiles trade wasted coverage lanes (small faces still pay a full tile)
 # for full-width vector ops. 4x4 was the round-2 choice when the scatter
-# was per-ELEMENT; with the round-4 per-entry row scatter the best
-# measured shape is wider (tools/ab_raster_tile.py).
-TKX = 4
+# was per-ELEMENT; round-5 re-measured with the per-entry row scatter:
+# 8x4 wins (65-68 vs 68-73 ms/call at the bench camera incl. sync; 12x4
+# ties 8x4 within tunnel noise, 8x8/16x4 regress — tools/
+# ab_raster_tile.py, winners bit-identical across shapes).
+TKX = 8
 TKY = 4
 
 
