@@ -114,8 +114,11 @@ def main():
                           pack_first=pack_first, with_stats=with_stats,
                           phase1_groups=ph, cascade=ca)
 
-    def variant(accel, cap1, near_k, g=None):
+    def variant(accel, cap1, near_k, g=None, dda_pack=None, cascade=None):
         gr = g if g is not None else grids
+        if cascade is not None:
+            import vvr_tpu.ops.jump as jump_mod
+            jump_mod.RESIDUE_PREF_CASCADE = cascade
 
         def run(sox, soy, soz, act):
             acc = jnp.zeros((n,), jnp.int32)
@@ -123,7 +126,7 @@ def main():
                 h = masked_shadow_hits(
                     tr, (sox + k * 1e-7, soy, soz), sun_j, e1j, e2j,
                     gr, act, size, max(n // 10, 2048), accel=accel,
-                    cap1=cap1, near_k=near_k)
+                    cap1=cap1, near_k=near_k, dda_pack=dda_pack)
                 acc = acc + h.astype(jnp.int32)
             return acc
         return jax.jit(run)
@@ -140,6 +143,13 @@ def main():
             grid, max(n // 24, 4096), 6, g=grids_hi)),
         ("grid 4096, cap n/12", lambda: variant(grid, None, 6,
                                                 g=grids_hi)),
+        ("dda pack cap1/16", lambda: variant(grid, None, 6,
+                                             dda_pack=10800)),
+        ("pref cascade caps x2", lambda: variant(
+            grid, None, 6, cascade=((1, 3, 4), (1, 12, 3), (1, 48, 0)))),
+        ("dda pack/16 + caps x2", lambda: variant(
+            grid, None, 6, dda_pack=10800,
+            cascade=((1, 3, 4), (1, 12, 3), (1, 48, 0)))),
     ]
     sel = [int(a) for a in sys.argv[1:]] or list(range(len(variants)))
     ref = None

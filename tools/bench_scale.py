@@ -109,18 +109,41 @@ def config5(traversal: str, edits: bool = True, frames: int = 8):
     bx, bz = 512, 400
     col = np.nonzero(occ[:, :, bx][:, bz])[0]  # occ[z,y,x] -> y column
     by = (int(col.max()) if len(col) else 100) + 4
+    import gc
+
+    import jax
+
     r.render(cam, timed=True)   # compile
     r.render(cam, timed=True)   # warm
-    # compile the edited-shapes frame too (first edit may change nothing
-    # shape-wise, but keep warmup separate from the measurement)
-    r.apply_edits(ed, _brush(ed, (bx, by, bz)), True)
+    # warm BOTH edit parities before measuring: the add and the remove
+    # compile different patch-op sets (round-5 diag: 23 s / 53 s cold,
+    # ~3 s warm), and the remove's new hole faces exercise the slot
+    # rebase path once
+    info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), True)
+    print(json.dumps({"config": 5, "warm_add": info}), flush=True)
+    r.render(cam, timed=True)
+    info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), False)
+    print(json.dumps({"config": 5, "warm_remove": info}), flush=True)
     r.render(cam, timed=True)
     edit_ms, frame_ms = [], []
     for i in range(frames):
         solid = (i % 2 == 0)
+        gc.collect()    # edits re-create device structures each frame;
+                        # stale buffers through the axon tunnel trip a
+                        # transient `TPU backend error (InvalidArgument)`
+                        # at paged scale (PROGRESS.md round-3 note)
         t1 = time.monotonic()
         info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), solid)
-        img = r.render(cam, time=i / 60.0, timed=True)
+        try:
+            img = r.render(cam, time=i / 60.0, timed=True)
+        except Exception as e:   # noqa: BLE001 — axon transient; retry
+            print(json.dumps({"config": 5, "retry_frame": i,
+                              "err": str(e)[:120]}), flush=True)
+            jax.clear_caches()
+            gc.collect()
+            t1 = time.monotonic()
+            info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), solid)
+            img = r.render(cam, time=i / 60.0, timed=True)
         frame_ms.append((time.monotonic() - t1) * 1e3)
         edit_ms.append(info["edit_ms"])
     frame_ms.sort()

@@ -654,7 +654,8 @@ def near_walk_classify(accel, p_o, p_d, rowC, sun3, size: int):
 def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
                        size: int, pack_cap, back: float = BACK,
                        accel=None, cap1: int | None = None,
-                       near_k: int = NEAR_K):
+                       near_k: int = NEAR_K,
+                       dda_pack: int | None = None):
     """The frame's hard-shadow query with the classifier fast path:
     ONE full-width fine-grid gather answers ~92% of lanes (one-shot
     gather cost is lane-count-bound, NOT table-size-bound — round-4
@@ -740,7 +741,8 @@ def masked_shadow_hits(tr, s_o, sun3, e1, e2, grids, shadow_active,
         p_dda_active = valid & ~(nh | nexit | lift)
     p_dda = tr(p_o, jnp.broadcast_to(sdir_one, p_o.shape),
                active=p_dda_active,
-               pack_first=max(cap1 // 8, 2048), shadow=True).hit
+               pack_first=dda_pack or max(cap1 // 8, 2048),
+               shadow=True).hit
     p_hit = near_hit | (p_dda_active & p_dda)
     packed_hits = jnp.zeros((n,), bool).at[idx].set(p_hit & valid,
                                                     mode="drop")

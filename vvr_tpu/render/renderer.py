@@ -281,6 +281,7 @@ class Renderer:
         t0 = _time.monotonic()
         positions = np.atleast_2d(np.asarray(positions, np.int64))
         n = editor.set_voxels(positions, solid)
+        t_sv = _time.monotonic()
         if editor.pyramid is not None:
             self.scene.pyramid = editor.pyramid
         if getattr(editor, "paged", None) is not None:
@@ -305,7 +306,11 @@ class Renderer:
             key = (self.sun[:3].tobytes(), self.scene.epoch, lo, cone)
             self._sunmask_cache = (key, (e1j, e2j, grids))
         return {"patched_rows": int(n),
-                "edit_ms": (_time.monotonic() - t0) * 1e3}
+                "edit_ms": (_time.monotonic() - t0) * 1e3,
+                "set_voxels_ms": round((t_sv - t0) * 1e3, 1),
+                "invalidate_ms": round((_time.monotonic() - t_sv) * 1e3,
+                                       1),
+                **getattr(editor, "last_timings", {})}
 
     def _finish_frame(self, img, t0, timed: bool, fetch: bool,
                       tainted: bool = False):

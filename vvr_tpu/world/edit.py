@@ -197,14 +197,25 @@ class WorldEditor:
         # affected rows per level: the ancestor chains, deduplicated; the
         # grouped table needs whole 2x2x2 groups, so recompute every member
         # node of each affected group (idempotent for unaffected members)
+        import time as _time
+        self.last_timings = {}
+
+        def _timed(tag, fn, *a):
+            t0 = _time.monotonic()
+            out = fn(*a)
+            self.last_timings[tag] = round(
+                (_time.monotonic() - t0) * 1e3, 1)
+            return out
+
         n_patched = 0
         if self.pyramid is None:
             if getattr(self, "_pg_prows", None) is not None:
-                n_patched += self._patch_paged(positions)
+                n_patched += _timed("paged_ms", self._patch_paged,
+                                    positions)
             if self.jumpgrid is not None:
-                self._patch_jump_grid(positions)
+                _timed("jump_ms", self._patch_jump_grid, positions)
             if self.faces is not None:
-                self._refresh_faces(positions)
+                _timed("faces_ms", self._refresh_faces, positions)
             return n_patched
         grouped = self.pyramid.rows_grp is not None
         new_rows = self.pyramid.rows
@@ -500,7 +511,8 @@ class WorldEditor:
     # ---- incremental exposed faces (world/faces.py region extraction) ----
 
     def attach_faces_incremental(self, region: int = CHUNK_SIZE,
-                                 slack: float = 0.5, pad_rows: int = 4):
+                                 slack: float = 0.5, pad_rows: int = 4,
+                                 total_rows: int | None = None):
         """Editable face set: per-REGION (default chunk-sized) extraction
         into capacity-padded device slots. Runs are capped at region
         boundaries (extract_merged_faces_region), so one region's
@@ -510,7 +522,16 @@ class WorldEditor:
         Face count rises vs the global greedy merge (runs no longer span
         regions) — measured ~1-3% on terrain; the raster entry loop's
         trip count tracks the dynamic entry total, so the cost is the
-        slightly larger allocation, not proportional work."""
+        slightly larger allocation, not proportional work.
+
+        The DEVICE arrays are allocated at a FIXED total capacity
+        (`total_rows`, default sum(caps) * 1.25 rounded up to 4096): the
+        face tuple's SHAPE is part of every consumer's jit key, so a slot
+        overflow must never change it. Overflow REBASES the regions
+        inside the fixed capacity (host-side re-pack + one re-upload)
+        instead of re-allocating — at 1024^3 a shape change cost a ~98 s
+        frame recompile AND trips the axon backend's multi-specialization
+        fragility (round-5 diag, PROGRESS.md)."""
         from vvr_tpu.world.faces import extract_merged_faces_region
         self._fc_region = int(region)
         nr = self.size // self._fc_region
@@ -526,7 +547,11 @@ class WorldEditor:
                           counts + pad_rows)
         base = np.zeros_like(caps)
         np.cumsum(caps[:-1], out=base[1:])
-        total = int(caps.sum())
+        needed = int(caps.sum())
+        if total_rows is None:
+            total_rows = getattr(self, "_fc_total", 0)
+        total = max(int(total_rows), (needed * 5 + 3) // 4)
+        total = -(-total // 4096) * 4096
         host = {k: np.zeros(total, np.int32)
                 for k in ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
                           "einfo")}
@@ -542,6 +567,7 @@ class WorldEditor:
         self._fc_base = base
         self._fc_caps = caps
         self._fc_counts = counts
+        self._fc_total = total
         self._fc_host = host
         self.faces = tuple(jnp.asarray(host[k]) for k in
                            ("vx", "vy", "vz", "axis", "sgn", "eu", "ev",
