@@ -125,6 +125,11 @@ def config5(traversal: str, edits: bool = True, frames: int = 8):
     info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), False)
     print(json.dumps({"config": 5, "warm_remove": info}), flush=True)
     r.render(cam, timed=True)
+    # one more add: the remove's slot REBASE leaves the next add's
+    # region re-extraction cold (measured 2.8 s first time, ~50 ms after)
+    info = r.apply_edits(ed, _brush(ed, (bx, by, bz)), True)
+    print(json.dumps({"config": 5, "warm_add2": info}), flush=True)
+    r.render(cam, timed=True)
     edit_ms, frame_ms = [], []
     for i in range(frames):
         solid = (i % 2 == 0)
