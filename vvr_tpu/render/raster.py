@@ -22,9 +22,12 @@ its row-vector matrices; with this camera's column-vector (view, proj) the
 negation cancels and ndc matches ops/raygen.py's pixel convention).
 Triangles wider than K2 pixels run a full-screen coverage pass (a
 dynamic-trip loop over just those triangles — zero cost when none, and
-close-up walls no longer vanish); only triangles straddling the camera
-plane remain un-drawable (projection-based rasterizers cannot clip them;
-the reference's hardware rasterizer can).
+close-up walls no longer vanish). Triangles STRADDLING the near plane —
+which a projection rasterizer cannot draw directly — are clipped
+host-side against w = NEAR_W into 1-2 fully-in-front triangles
+(fixed-capacity extra slab, shapes stable across frames), mirroring the
+fixed-function clipping the reference's pipeline gets for free
+(shaders/rasterized.slang:38-50 via src/renderer.rs:710-738).
 """
 
 from __future__ import annotations
@@ -49,6 +52,66 @@ K_BIG = 128        # close-up grid (pass 2)
 BIG_CAP = 2048     # fixed capacity of the close-up queue per slab
 SLAB = 32768       # triangles per rasterization slab
 NO_TRI = np.iinfo(np.int32).max
+NEAR_W = 0.5       # the reference's projection near plane
+                   # (src/movement.rs:103: near = 0.5)
+CLIP_CAP = 4096    # straddling-triangle capacity per frame (fixed shape)
+
+
+def _clip_straddlers(verts, tris_np, pos, fwd):
+    """Near-plane clipping: triangles straddling w = NEAR_W (w = view
+    depth along the camera forward) are split into 1-2 triangles lying
+    entirely in front, with new vertices lerped onto the plane — the
+    fixed-function clipping the reference's hardware rasterizer performs
+    (VERDICT r4 missing #3). Host-side: straddlers are the few triangles
+    crossing the camera plane; outputs are FIXED-CAPACITY so device
+    shapes never change. Returns (extra_verts (2*CLIP_CAP, 3) f32,
+    extra_tris (CLIP_CAP, 3) i32 indexing [verts | extra_verts],
+    n_extra_tris)."""
+    ev = np.zeros((2 * CLIP_CAP, 3), np.float32)
+    et = np.zeros((CLIP_CAP, 3), np.int32)
+    if len(tris_np) == 0:
+        return ev, et, 0
+    w = (verts - np.asarray(pos, np.float32)) @ np.asarray(fwd, np.float32)
+    inw = w > NEAR_W
+    cnt = inw[tris_np].sum(axis=1)
+    stra = np.nonzero((cnt == 1) | (cnt == 2))[0]
+    base = len(verts)
+    nv = nt = 0
+
+    def lerp(a, b):
+        # segment a (in front) -> b (behind) crossing w = NEAR_W
+        ta = (NEAR_W - w[a]) / (w[b] - w[a])
+        return verts[a] + ta * (verts[b] - verts[a])
+
+    for ti in stra:
+        idx = tris_np[ti]
+        vin = [int(i) for i in idx if inw[i]]
+        vout = [int(i) for i in idx if not inw[i]]
+        if len(vin) == 1:
+            if nt + 1 > CLIP_CAP or nv + 2 > 2 * CLIP_CAP:
+                break
+            a = vin[0]
+            ev[nv] = lerp(a, vout[0])
+            ev[nv + 1] = lerp(a, vout[1])
+            et[nt] = (a, base + nv, base + nv + 1)
+            nv += 2
+            nt += 1
+        else:
+            if nt + 2 > CLIP_CAP or nv + 2 > 2 * CLIP_CAP:
+                break
+            a, b = vin
+            c = vout[0]
+            p1 = base + nv      # a -> c crossing
+            p2 = base + nv + 1  # b -> c crossing
+            ev[nv] = lerp(a, c)
+            ev[nv + 1] = lerp(b, c)
+            # quad [a, b, p2, p1] -> (a, b, p2), (a, p2, p1); coverage
+            # accepts both windings (_edge_cover)
+            et[nt] = (a, b, p2)
+            et[nt + 1] = (a, p2, p1)
+            nv += 2
+            nt += 2
+    return ev, et, nt
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -253,14 +316,24 @@ def raster_debug_frame(mesh, pyr, camera, sun, time, cfg: RenderConfig):
     if len(verts) == 0:
         verts = np.zeros((1, 3), np.float32)
 
+    # near-plane clipping (fixed-capacity extra slab appended below)
+    right, up, fwd = camera.basis()
+    ev, et, n_extra = _clip_straddlers(
+        verts, tris_np if len(mesh.indices) else tris_np[:0],
+        camera.position, fwd)
+    verts = np.concatenate([verts, ev])
     vj = jnp.asarray(verts)
     sx, sy, w = project_verts(vj, jnp.asarray(view), jnp.asarray(proj),
                               w_img, h)
     t = len(tris_np)
-    n_slabs = max((t + SLAB - 1) // SLAB, 1)
-    pad = n_slabs * SLAB - t
-    tris_pad = np.pad(tris_np, ((0, pad), (0, 0)))
-    valid_pad = np.arange(n_slabs * SLAB) < (t if len(mesh.indices) else 0)
+    tris_all = np.concatenate([tris_np, et])
+    valid_all = np.zeros(len(tris_all), bool)
+    valid_all[:t] = bool(len(mesh.indices))
+    valid_all[t:t + n_extra] = True
+    n_slabs = max((len(tris_all) + SLAB - 1) // SLAB, 1)
+    pad = n_slabs * SLAB - len(tris_all)
+    tris_pad = np.pad(tris_all, ((0, pad), (0, 0)))
+    valid_pad = np.pad(valid_all, (0, pad))
     zbuf = jnp.full((h * w_img,), jnp.inf, F32)
     winner = jnp.full((h * w_img,), NO_TRI, I32)
     for s in range(n_slabs):
@@ -279,7 +352,6 @@ def raster_debug_frame(mesh, pyr, camera, sun, time, cfg: RenderConfig):
                                       cfg.clouds_resolution)
     skybox = sky_ops.write_skybox(jnp.asarray(sun[:3]), jnp.float32(time),
                                   cfg.skybox_resolution)
-    right, up, fwd = camera.basis()
     tan_half = np.float32(np.tan(np.radians(camera.fov) / 2.0))
     return _shade_raster(winner, vj, jnp.asarray(tris_pad), pyr,
                          jnp.asarray(camera.position, F32),
